@@ -1,0 +1,283 @@
+'''
+Public scan-engine API, drop-in compatible with the reference C extension
+``kvarq.engine`` (csrc/workhorse.c:1524-1596):
+
+- :py:data:`Hit` namedtuple ``(seq_nr, file_pos, seq_pos, length, readlength)``
+- :py:func:`config` / :py:func:`get_config`
+- :py:func:`findseqs` ``(fname_or_list, seqs) -> {'hits', 'stats', 'hitseqs'}``
+- :py:func:`stats` -- pollable during a running scan
+- :py:func:`stop` -- cooperative cancellation
+
+Instead of pthreads over a shared file stream, scanning here is a host input
+pipeline (kvarq_tpu.engine.reader) feeding batched matchers:
+
+- ``numpy``  -- byte-exact golden reference
+- ``xla``    -- jitted one-hot correlation over a concatenated template bank
+                (CPU or TPU)
+- ``pallas`` -- hand-tiled TPU kernel (fastest)
+
+plus an optional exact k-mer ``sieve`` prefilter.  All backends produce
+identical hits, ordered like a single-threaded reference scan
+(record, then template, then mode enumeration order -- see
+kvarq_tpu.engine.hitmodel).
+'''
+
+import collections
+import os
+import threading
+
+import numpy as np
+
+from kvarq_tpu.log import lo
+from kvarq_tpu.engine import hitmodel, reader
+
+Hit = collections.namedtuple(
+    'Hit', 'seq_nr file_pos seq_pos length readlength')
+Hit.__doc__ += (
+    '''
+seq_nr : refers to the list of sequences in call to engine.findseqs
+file_pos : beginning of read (within decompressed data)
+seq_pos : places the beginning of the read relative to the beginning of
+    the sequence (<0 if read overlaps only with beginning of sequence or
+    read contains whole sequence; >0 if read overlaps only with end of
+    sequence or read is contained within sequence)
+length : gives the number of overlapping basepairs
+readlength : length of the (quality trimmed) read containing the hit
+''')
+
+# engine configuration (defaults match workhorse.c:71-76)
+_config = {
+    'maxerrors': 0,
+    'minoverlap': 20,
+    'minreadlength': 10,
+    'nthreads': 1,
+    'Amin': '!',
+    'Azero': '!',
+}
+# kvarq_tpu extensions (not part of get_config() for json parity)
+_extra_config = {
+    'backend': os.environ.get('KVARQ_BACKEND', 'auto'),
+    'batchsize': int(os.environ.get('KVARQ_BATCHSIZE', '4096')),
+    'sieve': os.environ.get('KVARQ_SIEVE', 'auto'),
+}
+
+_lock = threading.Lock()
+_running = False
+_stop = False
+_sigints = 0
+_stats = reader.ReaderStats()
+_nseqs = 0
+_seqhits = np.zeros(0, dtype=np.int64)
+_seqbasehits = np.zeros(0, dtype=np.int64)
+
+
+def config(**kwargs):
+    ''' update engine configuration; accepts the reference keys
+        (maxerrors, minoverlap, minreadlength, nthreads, Amin, Azero --
+        workhorse.c:1497-1507) plus kvarq_tpu extensions
+        (backend, batchsize, sieve) '''
+    for key, value in kwargs.items():
+        if key in ('Amin', 'Azero'):
+            if not isinstance(value, str) or len(value) != 1:
+                raise TypeError('%s must be a single character' % key)
+            _config[key] = value
+        elif key in ('maxerrors', 'minoverlap', 'minreadlength', 'nthreads'):
+            _config[key] = int(value)
+        elif key in _extra_config:
+            _extra_config[key] = value
+        else:
+            raise TypeError("config() got an unexpected keyword '%s'" % key)
+
+
+def get_config():
+    ''' :returns: the reference-compatible config dict
+        (workhorse.c:1483-1493) '''
+    return dict(_config)
+
+
+def stop():
+    ''' stop a running scan; results are computed from the data parsed so
+        far (workhorse.c:1468-1479) '''
+    global _stop
+    lo.debug('engine stopped')
+    _stop = True
+
+
+def _sigint_cb(sig, frame):
+    global _sigints
+    _sigints += 1
+
+
+def install_sigint_counter():
+    ''' count SIGINT instead of raising KeyboardInterrupt, like the C engine
+        (workhorse.c:133-136); call from the main thread (the CLI does) '''
+    import signal
+    signal.signal(signal.SIGINT, _sigint_cb)
+
+
+def stats():
+    ''' live scanning statistics (workhorse.c:1204-1244) '''
+    longest = min(_stats.rls_longest, reader.MAX_READLENGTH - 1)
+    rls = tuple(int(x) for x in _stats.rls[:longest + 1])
+    progress = 0.0
+    if _stats.total > 0:
+        progress = float(min(_stats.parsed, _stats.total)) / _stats.total
+    return {
+        'readlengths': rls,
+        'progress': progress,
+        'nseqbasehits': tuple(int(x) for x in _seqbasehits),
+        'nseqhits': tuple(int(x) for x in _seqhits),
+        'parsed': int(_stats.parsed),
+        'total': int(_stats.total),
+        'sigints': _sigints,
+        'records_parsed': int(_stats.records_parsed),
+    }
+
+
+def _make_matcher(seqs, backend):
+    if backend == 'auto':
+        backend = _auto_backend()
+    if backend == 'numpy':
+        from kvarq_tpu.engine.match_numpy import NumpyMatcher
+        return NumpyMatcher(seqs, _config['maxerrors'], _config['minoverlap'])
+    if backend == 'xla':
+        from kvarq_tpu.engine.match_xla import XlaMatcher
+        return XlaMatcher(seqs, _config['maxerrors'], _config['minoverlap'])
+    if backend == 'pallas':
+        from kvarq_tpu.engine.match_pallas import PallasMatcher
+        return PallasMatcher(seqs, _config['maxerrors'], _config['minoverlap'])
+    raise ValueError('unknown engine backend "%s"' % backend)
+
+
+def _auto_backend():
+    try:
+        import jax
+        platform = jax.default_backend()
+    except Exception:
+        return 'numpy'
+    if platform in ('tpu', 'axon'):
+        return 'pallas'
+    return 'xla'
+
+
+def _make_sieve(seqs):
+    mode = _extra_config['sieve']
+    if mode in (False, 'off', '0', 'no'):
+        return None
+    from kvarq_tpu.engine.sieve import KmerSieve
+    sieve = KmerSieve.build(seqs, _config['maxerrors'],
+                            _config['minoverlap'], _config['minreadlength'])
+    if sieve is None and mode not in ('auto',):
+        lo.warning('k-mer sieve not applicable for current config; disabled')
+    return sieve
+
+
+def findseqs(fname, seqs):
+    '''
+    scan fastq file(s) for template base sequences
+    (reference workhorse.c:1248-1464).
+
+    :param fname: filename or sequence of filenames
+    :param seqs: list of template base strings
+    :returns: dict with ``hits`` (tuple of :py:data:`Hit`), ``stats`` (as
+        :py:func:`stats`), ``hitseqs`` (list of matched read base strings,
+        parallel to ``hits``)
+    '''
+    global _running, _stop, _sigints, _stats, _nseqs, _seqhits, _seqbasehits
+
+    from kvarq_tpu.fastq import FastqFileFormatException
+
+    with _lock:
+        if _running:
+            raise RuntimeError('findseqs() already running!')
+        _running = True
+    _stop = False
+    _sigints = 0
+
+    try:
+        if isinstance(fname, str):
+            fnames = [fname]
+        else:
+            fnames = list(fname)
+
+        seqs = list(seqs)
+        _nseqs = len(seqs)
+        _seqhits = np.zeros(_nseqs, dtype=np.int64)
+        _seqbasehits = np.zeros(_nseqs, dtype=np.int64)
+        _stats = reader.ReaderStats()
+
+        matcher = _make_matcher(seqs, _extra_config['backend']) \
+            if seqs else None
+        sieve = _make_sieve(seqs) if seqs else None
+        seqlens = [len(s) for s in seqs]
+        mo = _config['minoverlap']
+        Amin = ord(_config['Amin'])
+
+        hits = []
+        hitseqs = []
+
+        try:
+            for batch in reader.batches(
+                    fnames, Amin, _config['minreadlength'], _stats,
+                    batchsize=_extra_config['batchsize'],
+                    stop_check=lambda: _stop):
+                if matcher is None:
+                    continue
+                sub = batch
+                sel = None
+                if sieve is not None:
+                    sel = sieve.candidates(batch)
+                    if sel is not None and len(sel) < len(batch):
+                        if len(sel) == 0:
+                            continue
+                        sub = reader.RecordBatch(
+                            batch.codes[sel], batch.rl[sel],
+                            batch.filepos[sel], batch.raw[sel])
+                triplets = matcher.match_batch(sub)
+                if sel is not None and len(triplets):
+                    triplets = triplets.copy()
+                    triplets[:, 0] = sel[triplets[:, 0]]
+                _emit(triplets, batch, seqlens, mo, hits, hitseqs)
+        except reader.FastqFormatError as e:
+            raise FastqFileFormatException(str(e))
+
+        return {
+            'hits': tuple(hits),
+            'stats': stats(),
+            'hitseqs': hitseqs,
+        }
+    finally:
+        _running = False
+
+
+def _emit(triplets, batch, seqlens, mo, hits, hitseqs):
+    ''' convert passing (read, template, shift) triplets into Hit tuples in
+        the reference's single-threaded enumeration order '''
+    if not len(triplets):
+        return
+    order = np.lexsort((triplets[:, 2], triplets[:, 1], triplets[:, 0]))
+    triplets = triplets[order]
+
+    i = 0
+    K = len(triplets)
+    while i < K:
+        b = int(triplets[i, 0])
+        t = int(triplets[i, 1])
+        j = i
+        d_ok = set()
+        while j < K and triplets[j, 0] == b and triplets[j, 1] == t:
+            d_ok.add(int(triplets[j, 2]))
+            j += 1
+        i = j
+
+        rl = int(batch.rl[b])
+        fp = int(batch.filepos[b])
+        seql = seqlens[t]
+        for spos, length in hitmodel.emit_hits(d_ok, rl, seql, mo):
+            hits.append(Hit(seq_nr=t, file_pos=fp, seq_pos=spos,
+                            length=length, readlength=rl))
+            start = max(0, -spos)
+            hitseqs.append(
+                batch.raw[b, start:start + length].tobytes().decode('latin-1'))
+            _seqhits[t] += 1
+            _seqbasehits[t] += length
