@@ -112,7 +112,10 @@ def install_sigint_counter():
     ''' count SIGINT instead of raising KeyboardInterrupt, like the C engine
         (workhorse.c:133-136); call from the main thread (the CLI does) '''
     import signal
-    signal.signal(signal.SIGINT, _sigint_cb)
+    try:
+        signal.signal(signal.SIGINT, _sigint_cb)
+    except ValueError:
+        pass  # not in main thread (e.g. under a test runner)
 
 
 def stats():

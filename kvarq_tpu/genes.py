@@ -482,8 +482,23 @@ def load_testsuite(fname):
         file=open,  # python-2 style testsuites use file()
     )
 
+    # testsuites import sibling helper modules (e.g. ``from _util import
+    # ancestor``); make those imports resolve to the plugin's directory even
+    # when an unrelated module of the same name is already loaded
+    plugin_dir = os.path.dirname(os.path.abspath(fname))
+    shadowed = {}
+    for sib in os.listdir(plugin_dir) if os.path.isdir(plugin_dir) else []:
+        if not sib.endswith('.py'):
+            continue
+        modname = sib[:-3]
+        mod = sys.modules.get(modname)
+        if mod is not None and \
+                os.path.dirname(os.path.abspath(
+                    getattr(mod, '__file__', '') or '/')) != plugin_dir:
+            shadowed[modname] = sys.modules.pop(modname)
+
     try:
-        sys.path.insert(0, os.path.dirname(fname))
+        sys.path.insert(0, plugin_dir)
         with open(fname) as f:
             code = compile(f.read(), fname, 'exec')
         exec(code, namespace)
@@ -492,6 +507,19 @@ def load_testsuite(fname):
         raise TestsuiteLoadingException(
             'exception while reading file : %s [%s]' % (
                 str(e), format_traceback(sys.exc_info())))
+    finally:
+        # drop plugin-local modules from the global cache and restore any
+        # they shadowed, so unrelated same-named modules are unaffected
+        for sib in os.listdir(plugin_dir) if os.path.isdir(plugin_dir) else []:
+            if not sib.endswith('.py'):
+                continue
+            modname = sib[:-3]
+            mod = sys.modules.get(modname)
+            if mod is not None and \
+                    os.path.dirname(os.path.abspath(
+                        getattr(mod, '__file__', '') or '/')) == plugin_dir:
+                sys.modules.pop(modname)
+        sys.modules.update(shadowed)
 
     if 'GENES_COMPATIBILITY' not in namespace:
         raise TestsuiteLoadingException(

@@ -1,0 +1,193 @@
+'''
+End-to-end CLI tests (ported from reference tests/test_cli.py): version,
+usage, testsuite discovery precedence, and the golden scan+illustrate runs
+on the two real-data fixtures.
+'''
+
+import io
+import logging
+import os
+import os.path
+import sys
+import tempfile
+import time
+
+import pytest
+
+from kvarq_tpu import VERSION
+import kvarq_tpu.cli
+from kvarq_tpu.log import lo
+
+HERE = os.path.abspath(os.path.dirname(__file__))
+MTBC_fastq1 = os.path.join(HERE, 'fastqs', 'L3_N1014_hits_5k.fastq')
+MTBC_fastq2 = os.path.join(HERE, 'fastqs', 'N0116_1_hits_1k.fastq')
+TESTSUITES_ALT = os.path.join(HERE, 'override_testsuites')
+
+needs_genome = pytest.mark.skipif(
+    not os.path.exists(os.path.join(
+        HERE, os.pardir, 'testsuites', 'MTBC',
+        'MTB_ancestor_reference.bases')),
+    reason='run tools/reconstruct_genome.py first')
+
+
+@pytest.fixture(autouse=True)
+def in_tests_dir():
+    cwd = os.getcwd()
+    os.chdir(HERE)
+    yield
+    os.chdir(cwd)
+
+
+def main(args, err=0):
+    stdout, stderr = sys.stdout, sys.stderr
+    strout = sys.stdout = io.StringIO()
+    strerr = sys.stderr = io.StringIO()
+    try:
+        kvarq_tpu.cli.main(args)
+    except SystemExit as e:
+        assert e.code == err, (
+            'expected error code=%d' % err
+            + '\n\nstdout: ' + strout.getvalue()
+            + '\n\nstderr: ' + strerr.getvalue())
+    finally:
+        sys.stdout, sys.stderr = stdout, stderr
+    return strout.getvalue(), strerr.getvalue()
+
+
+def test_version():
+    out, err = main(['version'])
+    assert out.strip('\n\r') == VERSION
+
+
+def test_usage():
+    out, err = main(['-h'])
+    assert out.startswith('usage:')
+
+
+def get_testsuites(out):
+    line = [line for line in out.split('\n')
+            if line.startswith('testsuites=')][0]
+    return set(ts for ts in line[line.index('=') + 1:].split(',') if ts)
+
+
+def name_and_version(testsuites):
+    return set(ts[:ts.find('[')] for ts in testsuites)
+
+
+def name_only(testsuites):
+    return set(ts[:ts.find('-')] for ts in testsuites)
+
+
+@needs_genome
+def test_load_testsuites():
+    out, err = main(['info'])
+    assert get_testsuites(out) == set()
+
+    lo.setLevel(logging.WARNING)
+    try:
+        MTBC_testsuites = set(['MTBC/phylo', 'MTBC/resistance',
+                               'MTBC/spoligo'])
+
+        # select single testsuite
+        out, err = main(['info', '-l', 'MTBC/phylo'])
+        assert name_only(get_testsuites(out)) == set(['MTBC/phylo'])
+
+        # select group
+        out, err = main(['info', '-l', 'MTBC'])
+        assert name_only(get_testsuites(out)) == MTBC_testsuites
+
+        # select testsuite by filename
+        path = os.path.join(TESTSUITES_ALT, 'MTBC', 'phylo.py')
+        out, err = main(['info', '-l', path])
+        assert name_and_version(get_testsuites(out)) == set(['MTBC/phylo-0.0'])
+
+        # override testsuite directory using switch
+        out, err = main(['info', '-l', 'MTBC/phylo'])
+        assert name_and_version(get_testsuites(out)) != set(['MTBC/phylo-0.0'])
+        out, err = main(['-t', TESTSUITES_ALT, 'info', '-l', 'MTBC/phylo'])
+        assert name_and_version(get_testsuites(out)) == set(['MTBC/phylo-0.0'])
+
+        # override using KVARQ_TESTSUITES
+        os.environ['KVARQ_TESTSUITES'] = TESTSUITES_ALT
+        try:
+            out, err = main(['info', '-l', 'MTBC/phylo'])
+            assert name_and_version(get_testsuites(out)) == \
+                set(['MTBC/phylo-0.0'])
+        finally:
+            del os.environ['KVARQ_TESTSUITES']
+
+        # load all
+        t0 = time.time()
+        out, err = main(['info', '-L'])
+        assert len(name_only(get_testsuites(out))) > 4
+        if time.time() - t0 > 2:
+            lo.warning('loading all testsuites takes %.2f'
+                       % (time.time() - t0))
+    finally:
+        lo.setLevel(logging.INFO)
+
+
+def scan_illustrate(fastq, scan_params=[]):
+    ntf = tempfile.NamedTemporaryFile(delete=False)
+    ntf.close()
+    lo.setLevel(logging.WARNING)
+    try:
+        t0 = time.time()
+        out, err = main(['scan', '-l', 'MTBC', '-f'] + scan_params +
+                        [fastq, ntf.name])
+        if time.time() - t0 > 10:
+            lo.warning('scanning of %s took %.2fs'
+                       % (os.path.basename(fastq), time.time() - t0))
+        out, err = main(['illustrate', '-r', ntf.name])
+    finally:
+        lo.setLevel(logging.INFO)
+        os.remove(ntf.name)
+    return out, err
+
+
+@needs_genome
+def test_scan_illustrate():
+    ''' golden end-to-end (reference tests/test_cli.py:150-174) '''
+    lo.setLevel(logging.WARNING)
+
+    out, err = scan_illustrate(MTBC_fastq1, ['--variant', 'Illumina 1.8+'])
+    for resistance in [
+            'Streptomycin resistance::SNP781687AG=rpsL.K43R',
+            'Ethambutol resistance::SNP4247431GT=embB.M306I',
+            'Isoniazid resistance [2155168CG=katG.S315T]',
+            'Rifampicin resistance (RRDR) '
+            '[761139CG=rpoB.H445D 761140AG=rpoB.H445R]',
+            'remark: low coverage (RRDR below 10x)']:
+        assert resistance in out, MTBC_fastq1 + ' should have ' + resistance
+    assert 'lineage 3' in out, MTBC_fastq1 + ' should be Lineage 3'
+
+    out, err = scan_illustrate(MTBC_fastq2)
+    for resistance in [
+            'Streptomycin resistance::SNP781687AG=rpsL.K43R',
+            'remark: low coverage (RRDR below 10x)']:
+        assert resistance in out, MTBC_fastq2 + ' should have ' + resistance
+    assert 'lineage 2' in out, MTBC_fastq2 + ' should be Lineage 2'
+
+    lo.setLevel(logging.INFO)
+
+
+@needs_genome
+def test_scan_update_summarize(tmp_path):
+    ''' update recomputes identical results; summarize emits csv '''
+    lo.setLevel(logging.WARNING)
+    try:
+        jpath = str(tmp_path / 'out.json')
+        main(['scan', '-l', 'MTBC/phylo', '-f', MTBC_fastq2, jpath])
+        import json
+        before = json.load(open(jpath))
+        main(['update', jpath])
+        after = json.load(open(jpath))
+        assert before['analyses'] == after['analyses']
+        assert before['coverages'] == after['coverages']
+
+        out, err = main(['summarize', jpath])
+        lines = out.strip().split('\n')
+        assert lines[0].startswith('filename,filesize,scantime')
+        assert jpath in out
+    finally:
+        lo.setLevel(logging.INFO)
