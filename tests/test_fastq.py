@@ -120,4 +120,4 @@ def test_cutoff():
     # first-longest run wins
     assert fq.cutoff('IIII!IIII', 'I') == (0, 4)
     assert fq.cutoff('!III!IIIII!', 'I') == (5, 5)
-    assert fq.cutoff('!!!', 'I') == (0, -1)
+    assert fq.cutoff('!!!', 'I') == (0, 0)
