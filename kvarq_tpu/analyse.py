@@ -227,10 +227,17 @@ class Analyser:
         else:
             return self.coverages[str(thing)]
 
-    def scan(self, fastq, testsuites, do_reverse=True):
-        ''' run :py:func:`kvarq_tpu.engine.findseqs` over the plus (and
-            minus) template sequences and apply all hits
-            (analyse.py:328-365) '''
+    def scan(self, fastq, testsuites, do_reverse=True, keep_hits=True):
+        ''' scan the fastq over the plus (and minus) template sequences and
+            fill ``.coverages`` (reference analyse.py:328-365).
+
+            With ``keep_hits`` (reference behavior) the engine materializes
+            the full hit list (:py:func:`kvarq_tpu.engine.findseqs`) and
+            ``.hits``/``.hitseqs`` are available for ``-H``/``--extract-hits``.
+            With ``keep_hits=False`` the scan runs fully tensorized on
+            device (:py:func:`kvarq_tpu.engine.countseqs`): coverage/mutation
+            counts are accumulated on TPU with no host hit list -- much
+            faster, with identical coverages, stats and analysis results. '''
         self.fastq = fastq
         self.fastq_filenames = fastq.filenames()
         self.fastq_sizes = fastq.filesizes()
@@ -248,14 +255,26 @@ class Analyser:
                      for coverage in self.coverages.values()]
 
         t0 = time.time()
-        ret = engine.findseqs(self.fastq.filenames(), seqs)
-        lo.debug('found %d hits' % len(ret['hits']))
-        self.stats = ret['stats']
-        self.hits = ret['hits']
-        self.hitseqs = ret['hitseqs']
-        self.scantime = time.time() - t0
-
-        self.update_coverages()
+        if keep_hits:
+            ret = engine.findseqs(self.fastq.filenames(), seqs)
+            lo.debug('found %d hits' % len(ret['hits']))
+            self.stats = ret['stats']
+            self.hits = ret['hits']
+            self.hitseqs = ret['hitseqs']
+            self.scantime = time.time() - t0
+            self.update_coverages()
+        else:
+            from kvarq_tpu.engine.tensor_scan import fold_into_coverage
+            ret = engine.countseqs(self.fastq.filenames(), seqs)
+            self.stats = ret['stats']
+            self.hits = None
+            self.hitseqs = None
+            n = len(self.coverages)
+            bcs = ret['basecounts']
+            for i, coverage in enumerate(self.coverages.values()):
+                fold_into_coverage(
+                    coverage, bcs[i], bcs[n + i] if do_reverse else None)
+            self.scantime = time.time() - t0
 
     @tictoc('update_coverages')
     def update_coverages(self):

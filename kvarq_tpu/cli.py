@@ -106,8 +106,12 @@ def scan(args):
         def run(self):
             try:
                 self.analyser.spacing = args.spacing
+                # hit list is only needed for -H / --extract-hits; otherwise
+                # scan fully tensorized on device (identical results, faster)
                 self.analyser.scan(fastq, testsuites,
-                                   do_reverse=not args.no_reverse)
+                                   do_reverse=not args.no_reverse,
+                                   keep_hits=bool(args.hits or
+                                                  args.extract_hits))
                 self.finished = True
             except Exception as e:
                 self.exception = e

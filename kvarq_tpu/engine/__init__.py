@@ -159,7 +159,11 @@ def _auto_backend():
     except Exception:
         return 'numpy'
     if platform in ('tpu', 'axon'):
-        return 'pallas'
+        try:
+            import kvarq_tpu.engine.match_pallas  # noqa: F401
+            return 'pallas'
+        except ImportError:
+            return 'xla'
     return 'xla'
 
 
@@ -248,6 +252,78 @@ def findseqs(fname, seqs):
             'hits': tuple(hits),
             'stats': stats(),
             'hitseqs': hitseqs,
+        }
+    finally:
+        _running = False
+
+
+def countseqs(fname, seqs):
+    '''
+    tensorized scan: like :py:func:`findseqs` but accumulates per-template
+    base counts *on device* instead of materializing a hit list -- the
+    production path for large scans and the unit that shards data-parallel
+    across chips.  Statistics (``nseqhits``/``nseqbasehits``/readlengths/
+    progress) are identical to :py:func:`findseqs`; per-position coverage
+    information is returned as dense base-count tensors that
+    :py:func:`kvarq_tpu.engine.tensor_scan.fold_into_coverage` maps onto
+    :py:class:`~kvarq_tpu.analyse.Coverage` objects.
+
+    :returns: dict with ``basecounts`` (list of [5, S] int64 arrays in
+        scanned-strand coordinates, parallel to ``seqs``) and ``stats``
+    '''
+    global _running, _stop, _sigints, _stats, _nseqs, _seqhits, _seqbasehits
+
+    from kvarq_tpu.fastq import FastqFileFormatException
+    from kvarq_tpu.engine.tensor_scan import TensorScanner
+
+    with _lock:
+        if _running:
+            raise RuntimeError('findseqs() already running!')
+        _running = True
+    _stop = False
+    _sigints = 0
+
+    try:
+        fnames = [fname] if isinstance(fname, str) else list(fname)
+        seqs = list(seqs)
+        _nseqs = len(seqs)
+        _seqhits = np.zeros(_nseqs, dtype=np.int64)
+        _seqbasehits = np.zeros(_nseqs, dtype=np.int64)
+        _stats = reader.ReaderStats()
+
+        scanner = TensorScanner(seqs, _config['maxerrors'],
+                                _config['minoverlap']) if seqs else None
+        sieve = _make_sieve(seqs) if seqs else None
+        Amin = ord(_config['Amin'])
+
+        try:
+            for batch in reader.batches(
+                    fnames, Amin, _config['minreadlength'], _stats,
+                    batchsize=_extra_config['batchsize'],
+                    stop_check=lambda: _stop):
+                if scanner is None:
+                    continue
+                sub = batch
+                if sieve is not None:
+                    sel = sieve.candidates(batch)
+                    if sel is not None and len(sel) < len(batch):
+                        if len(sel) == 0:
+                            continue
+                        sub = reader.RecordBatch(
+                            batch.codes[sel], batch.rl[sel],
+                            batch.filepos[sel], batch.raw[sel])
+                scanner.scan_batch(sub)
+                # live counters for stats() polling during the scan
+                _seqhits[:] = scanner.seqhits
+                _seqbasehits[:] = scanner.seqbasehits
+        except reader.FastqFormatError as e:
+            raise FastqFileFormatException(str(e))
+
+        basecounts = [bc.astype(np.int64) for bc in scanner.coverages()] \
+            if scanner is not None else []
+        return {
+            'basecounts': basecounts,
+            'stats': stats(),
         }
     finally:
         _running = False

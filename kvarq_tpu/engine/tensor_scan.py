@@ -1,0 +1,257 @@
+'''
+Tensorized scan step: the full per-batch device computation -- exhaustive
+match + mode gating + on-device coverage/mutation accumulation -- with no
+host-side hit list.  This is the production path for large scans and the
+unit that shards data-parallel across chips (kvarq_tpu.parallel).
+
+Outputs per batch (all densely tensorized, psum-able across devices):
+
+- ``basecount`` [5, G]: for every bank position, how many hit-overlap read
+  bases of each kind (A C G T N) aligned there.  Depth is the channel sum;
+  alternate-base (mutation) counts are the channels differing from the
+  bank base.  Exactly reproduces Coverage.apply_hit accumulation
+  (reference analyse.py:57-78) up to the in-memory ordering of mutation
+  strings (which serialize sorted anyway, analyse.py:162-163).
+- ``seqhits`` [T+1], ``seqbasehits`` [T+1]: per-template hit counts /
+  overlap-base sums (last slot collects gap positions and is discarded).
+
+Both accumulation contractions are one-hot correlations lowered onto the
+MXU; mode weights replicate kvarq_tpu.engine.hitmodel exactly, including
+the mode-B/D border duplicate (weight 2).
+'''
+
+import functools
+
+import numpy as np
+
+from kvarq_tpu.engine import encode
+from kvarq_tpu.engine.match_xla import _Bank
+
+
+def build_bank(seqs, Lpad):
+    return _Bank(seqs, Lpad)
+
+
+def bank_device_arrays(bank, dtype=None):
+    import jax
+    import jax.numpy as jnp
+    if dtype is None:
+        dtype = jnp.bfloat16 if jax.default_backend() != 'cpu' \
+            else jnp.float32
+    bank_oh = jax.nn.one_hot(jnp.asarray(bank.codes), encode.NBASE,
+                             dtype=dtype).T                     # [5, G]
+    return dict(
+        bank_oh=bank_oh,
+        d_of=jnp.asarray(bank.d_of),
+        seql_of=jnp.asarray(bank.seql_of),
+        tid=jnp.asarray(bank.tid),
+        valid_q=jnp.asarray(bank.tid >= 0),
+    )
+
+
+def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
+                 axis_name=None):
+    '''
+    build the jit-able scan step.
+
+    :param axis_name: when set, the step runs under shard_map/pmap over
+        that mesh axis and psums its outputs across it
+    :returns: step(codes [B, Lpad] uint8, rl [B] int32, bank arrays...) ->
+        (basecount [5, G] f32, seqhits [T+1] i32, seqbasehits [T+1] i32)
+    '''
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    in_dtype = jnp.dtype(dtype_name)
+    Q = G + Lpad - 1
+
+    def step(codes, rl, bank_oh, d_of, seql_of, tid, valid_q):
+        read_oh = jax.nn.one_hot(codes, encode.NBASE, dtype=in_dtype)
+        read_oh_f = jnp.transpose(read_oh, (0, 2, 1))       # [B, 5, Lpad]
+
+        # 1) exhaustive match counts at every alignment (MXU)
+        matches = lax.conv_general_dilated(
+            bank_oh[None], read_oh_f,
+            window_strides=(1,), padding=[(Lpad - 1, Lpad - 1)],
+            dimension_numbers=('NCH', 'OIH', 'NCH'),
+            preferred_element_type=jnp.float32,
+        )[0].astype(jnp.int32)                               # [B, Q]
+
+        # 2) mode gating (VPU) -- see kvarq_tpu.engine.hitmodel
+        d = d_of[None, :]
+        seql = seql_of[None, :]
+        rl_ = rl[:, None].astype(jnp.int32)
+        mo = minoverlap
+
+        ov = jnp.minimum(seql, d + rl_) - jnp.maximum(0, d)
+        mism = ov - matches
+
+        ab = (rl_ > mo) & (seql > mo)
+        i = -d
+        wA = ab & (i >= 1) & (i >= rl_ - seql + 1) & (i <= rl_ - mo)
+        wB = ab & (d >= 1) & (d >= seql - rl_) & (d <= seql - mo)
+        wC = (rl_ > seql) & (d <= 0) & (-d <= rl_ - seql)
+        wD = (rl_ <= seql) & (d >= 0) & (d <= seql - rl_)
+
+        passing = valid_q[None, :] & (rl_ > 0) & (mism <= maxerrors)
+        w = jnp.where(passing,
+                      wA.astype(jnp.int32) + wB.astype(jnp.int32)
+                      + wC.astype(jnp.int32) + wD.astype(jnp.int32),
+                      0)                                      # [B, Q]
+
+        # 3) per-template stats
+        tseg = jnp.where(tid >= 0, tid, T)
+        w_q = jnp.sum(w, axis=0)                              # [Q]
+        wov_q = jnp.sum(w * ov, axis=0)
+        seqhits = jax.ops.segment_sum(w_q, tseg, num_segments=T + 1)
+        seqbasehits = jax.ops.segment_sum(wov_q, tseg, num_segments=T + 1)
+
+        # 4) coverage accumulation: second correlation scattering each
+        # hit's read bases onto bank positions (MXU).
+        #   basecount[c, g] = sum_b sum_j w[b, g + Lpad-1 - j] read_oh[b,j,c]
+        w_in = w.astype(in_dtype)[None]                       # [1, B, Q]
+        read_oh_flip = jnp.transpose(read_oh[:, ::-1, :], (2, 0, 1))
+        basecount = lax.conv_general_dilated(
+            w_in, read_oh_flip,
+            window_strides=(1,), padding=[(0, 0)],
+            dimension_numbers=('NCH', 'OIH', 'NCH'),
+            preferred_element_type=jnp.float32,
+        )[0]                                                  # [5, G]
+
+        if axis_name is not None:
+            basecount = lax.psum(basecount, axis_name)
+            seqhits = lax.psum(seqhits, axis_name)
+            seqbasehits = lax.psum(seqbasehits, axis_name)
+        return basecount, seqhits, seqbasehits
+
+    return step
+
+
+class TensorScanner:
+    ''' single-device convenience wrapper: accumulates bank-position base
+        counts and per-template stats over many batches '''
+
+    def __init__(self, seqs, maxerrors, minoverlap):
+        import jax
+        self.seqs = list(seqs)
+        self.maxerrors = maxerrors
+        self.minoverlap = minoverlap
+        self.T = len(self.seqs)
+        self.platform = jax.default_backend()
+        self._ctx = {}
+        self.reset()
+
+    def reset(self):
+        self.basecounts = {}   # Lpad -> accumulated [5, G] numpy
+        self.seqhits = np.zeros(self.T, dtype=np.int64)
+        self.seqbasehits = np.zeros(self.T, dtype=np.int64)
+
+    def _context(self, Lpad):
+        if Lpad not in self._ctx:
+            import jax
+            bank = build_bank(self.seqs, Lpad)
+            arrays = bank_device_arrays(bank)
+            dtype = 'float32' if self.platform == 'cpu' else 'bfloat16'
+            step = jax.jit(scan_step_fn(
+                Lpad, bank.G, self.T, self.maxerrors, self.minoverlap,
+                dtype_name=dtype))
+            self._ctx[Lpad] = (bank, arrays, step)
+        return self._ctx[Lpad]
+
+    # cap on B*Q f32 elements materialized per device step (the conv's
+    # [B, Q] matches tensor); the Pallas backend fuses it away instead
+    ELEM_BUDGET = 48 * 1024 * 1024
+
+    def scan_batch(self, batch):
+        import jax.numpy as jnp
+        B, Lpad = batch.codes.shape
+        bank, arrays, step = self._context(Lpad)
+        if bank.G == 0:
+            return
+        acc = self.basecounts.setdefault(
+            Lpad, np.zeros((encode.NBASE, bank.G), dtype=np.float64))
+
+        Q = bank.G + Lpad - 1
+        sub = max(64, min(B, self.ELEM_BUDGET // max(Q, 1)))
+        for lo_ in range(0, B, sub):
+            hi = min(B, lo_ + sub)
+            codes = batch.codes[lo_:hi]
+            rl = batch.rl[lo_:hi]
+            if len(codes) < sub:  # pad to the static shape (rl=0 rows gate out)
+                pad = sub - len(codes)
+                codes = np.concatenate(
+                    [codes, np.full((pad, Lpad), encode.CODE_READ_JUNK,
+                                    dtype=np.uint8)])
+                rl = np.concatenate([rl, np.zeros(pad, dtype=np.int32)])
+            basecount, seqhits, seqbasehits = step(
+                jnp.asarray(codes), jnp.asarray(rl), **arrays)
+            acc += np.asarray(basecount, dtype=np.float64)
+            self.seqhits += np.asarray(seqhits[:self.T], dtype=np.int64)
+            self.seqbasehits += np.asarray(seqbasehits[:self.T], dtype=np.int64)
+
+    def coverages(self):
+        '''
+        :returns: list (per template, in ``seqs`` order) of base-count
+            arrays [5, S] in template-local coordinates, summed over all
+            processed batches
+        '''
+        per_template = [np.zeros((encode.NBASE, len(s)), dtype=np.float64)
+                        for s in self.seqs]
+        for Lpad, acc in self.basecounts.items():
+            gap = Lpad  # bank layout: [gap][T0][gap][T1]...[gap]
+            pos = 0
+            for t, s in enumerate(self.seqs):
+                pos += gap
+                S = len(s)
+                per_template[t] += acc[:, pos:pos + S]
+                pos += S
+        return per_template
+
+
+# complement channel permutation: A<->T, C<->G, N->N (genes.py COMPLEMENT)
+COMPL_PERM = np.array([encode.T, encode.G, encode.C, encode.A, encode.N])
+
+# channel enumeration in sorted-character order 'ACGNT', so mutation strings
+# come out pre-sorted exactly like Coverage.serialize() emits them
+# (reference analyse.py:162-163 sorts the observed bases)
+_SORTED_CHANNELS = sorted(range(encode.NBASE), key=lambda c: encode.BASE_CHARS[c])
+
+
+def fold_into_coverage(cov, plus_bc, minus_bc):
+    '''
+    fill a :py:class:`kvarq_tpu.analyse.Coverage` from tensorized base
+    counts: ``plus_bc``/``minus_bc`` are [5, S] hit-overlap base counts in
+    scanned-strand coordinates for the plus/minus template strands.
+
+    Reproduces Coverage.apply_hit (reference analyse.py:57-78): minus-strand
+    counts are mapped back to plus coordinates via index reversal + base
+    complement; depth is the channel sum; every read base differing from the
+    template base becomes a mutation entry.  Mutation strings are built in
+    sorted order -- in-memory ordering differs from the (observation-ordered)
+    hit path but serializes identically and all statistics
+    (bases_at/fractions_at/...) are order-insensitive.
+    '''
+    total = np.asarray(plus_bc, dtype=np.int64).copy()
+    if minus_bc is not None:
+        total += np.asarray(minus_bc, dtype=np.int64)[COMPL_PERM][:, ::-1]
+
+    depth = total.sum(axis=0)
+    cov.coverage = [int(x) for x in depth]
+
+    tmpl = encode.encode_template(cov.plus_seq.bases)
+    mutations = {}
+    # mutation counts = all channels except the template's own base
+    mut_total = depth - np.where(
+        tmpl < encode.NBASE,
+        total[np.minimum(tmpl, encode.NBASE - 1), np.arange(len(tmpl))], 0)
+    for j in np.flatnonzero(mut_total):
+        parts = []
+        for c in _SORTED_CHANNELS:
+            if c == tmpl[j]:
+                continue
+            n = int(total[c, j])
+            if n:
+                parts.append(encode.BASE_CHARS[c] * n)
+        mutations[int(j)] = ''.join(parts)
+    cov.mutations = mutations

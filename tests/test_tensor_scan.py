@@ -1,0 +1,123 @@
+'''
+Tensorized-scan parity: the on-device coverage accumulation path
+(engine.countseqs / Analyser.scan(keep_hits=False)) must produce coverages,
+stats and analysis results identical to the hit-list path.
+'''
+
+import os.path
+
+import numpy as np
+import pytest
+
+from kvarq_tpu import engine
+from kvarq_tpu import genes
+from kvarq_tpu import analyse
+from kvarq_tpu.fastq import Fastq
+from kvarq_tpu.engine import encode, reader
+from kvarq_tpu.engine.tensor_scan import TensorScanner
+
+HERE = os.path.abspath(os.path.dirname(__file__))
+MTBC = os.path.join(HERE, os.path.pardir, 'testsuites', 'MTBC')
+FASTQS = os.path.join(HERE, 'fastqs')
+
+COMPL = {'A': 'T', 'T': 'A', 'C': 'G', 'G': 'C', 'N': 'N'}
+
+
+def _revcomp(s):
+    return ''.join(COMPL[c] for c in reversed(s))
+
+
+def _hitpath_basecounts(fname, seqs):
+    ''' hit-list path -> per-template [5, S] base counts in scanned-strand
+        coordinates '''
+    ret = engine.findseqs(fname, seqs)
+    bcs = [np.zeros((encode.NBASE, len(s)), dtype=np.int64) for s in seqs]
+    for hit, hs in zip(ret['hits'], ret['hitseqs']):
+        start = max(0, hit.seq_pos)
+        codes = encode.encode_read(hs.encode('latin-1'))
+        for i in range(hit.length):
+            bcs[hit.seq_nr][codes[i], start + i] += 1
+    return bcs, ret['stats']
+
+
+@pytest.mark.parametrize('maxerrors,minoverlap,minreadlength,Amin', [
+    (0, 20, 10, '!'),
+    (2, 3, 3, '!'),
+    (1, 10, 5, '#'),
+])
+def test_countseqs_matches_findseqs(maxerrors, minoverlap, minreadlength,
+                                    Amin):
+    fname = os.path.join(FASTQS, 'test_engine.fastq')
+    plus = ['CACCGGTGTAGGCAAGTCGTAACAAGG', 'TTTTTTTTTTGGGGGGGGGG',
+            'CCCC', 'CCC']
+    seqs = plus + [_revcomp(s) for s in plus]
+
+    engine.config(maxerrors=maxerrors, minoverlap=minoverlap,
+                  minreadlength=minreadlength, Amin=Amin)
+    ref_bcs, ref_stats = _hitpath_basecounts(fname, seqs)
+
+    engine.config(maxerrors=maxerrors, minoverlap=minoverlap,
+                  minreadlength=minreadlength, Amin=Amin)
+    ret = engine.countseqs(fname, seqs)
+
+    for r, g in zip(ref_bcs, ret['basecounts']):
+        assert np.array_equal(r, g)
+    assert ret['stats'] == ref_stats
+
+
+def test_analyser_tensorized_parity():
+    ''' full-stack: Analyser.scan(keep_hits=False) == hit path on the
+        crafted fixture with real testsuites (exercises minus-strand
+        folding into Coverage and the exact serialized format) '''
+    if not os.path.exists(os.path.join(MTBC,
+                                       'MTB_ancestor_reference.bases')):
+        pytest.skip('run tools/reconstruct_genome.py first')
+    from kvarq_tpu.log import set_warning
+    set_warning()
+    suites = {
+        'phylo': genes.load_testsuite(os.path.join(MTBC, 'phylo.py')),
+        'spoligo': genes.load_testsuite(os.path.join(MTBC, 'spoligo.py')),
+    }
+    fname = os.path.join(FASTQS, 'test_analyser.fastq')
+
+    engine.config(nthreads=1, minoverlap=10, maxerrors=1,
+                  minreadlength=10, Amin='!')
+    a1 = analyse.Analyser()
+    a1.scan(Fastq(fname, quiet=True), suites, keep_hits=True)
+    a1.update_testsuites()
+
+    engine.config(nthreads=1, minoverlap=10, maxerrors=1,
+                  minreadlength=10, Amin='!')
+    a2 = analyse.Analyser()
+    a2.scan(Fastq(fname, quiet=True), suites, keep_hits=False)
+    a2.update_testsuites()
+
+    assert a2.hits is None
+    for name in a1.coverages:
+        assert a1.coverages[name].serialize() == \
+            a2.coverages[name].serialize(), name
+    assert a1.stats == a2.stats
+    assert a1.results == a2.results
+
+    # encoded json identical apart from timing metadata
+    e1, e2 = a1.encode(), a2.encode()
+    for k in ('analyses', 'stats', 'coverages'):
+        assert e1[k] == e2[k]
+
+
+def test_tensorized_subbatching():
+    ''' ELEM_BUDGET sub-batching + rl=0 padding rows change nothing '''
+    fname = os.path.join(FASTQS, 'test_engine.fastq')
+    seqs = ['CACCGGTGTAGGCAAGTCGTAACAAGG', 'CCC']
+
+    engine.config(maxerrors=1, minoverlap=5, minreadlength=5, Amin='!')
+    ref_bcs, _ = _hitpath_basecounts(fname, seqs)
+
+    engine.config(maxerrors=1, minoverlap=5, minreadlength=5, Amin='!')
+    sc = TensorScanner(seqs, 1, 5)
+    sc.ELEM_BUDGET = 1  # force sub=64 with padding
+    stats = reader.ReaderStats()
+    for batch in reader.batches([fname], ord('!'), 5, stats):
+        sc.scan_batch(batch)
+    for r, g in zip(ref_bcs, sc.coverages()):
+        assert np.array_equal(r, g.astype(np.int64))
