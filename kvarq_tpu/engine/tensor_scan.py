@@ -64,19 +64,25 @@ def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
     from jax import lax
 
     in_dtype = jnp.dtype(dtype_name)
+    L = Lpad
     Q = G + Lpad - 1
 
     def step(codes, rl, bank_oh, d_of, seql_of, tid, valid_q):
         read_oh = jax.nn.one_hot(codes, encode.NBASE, dtype=in_dtype)
-        read_oh_f = jnp.transpose(read_oh, (0, 2, 1))       # [B, 5, Lpad]
+        read_flat = read_oh.reshape(-1, L * encode.NBASE)   # [B, L*5]
+
+        # im2col'd bank: K[(j,c), q] = bank_oh[c, q-(L-1)+j] -- built from
+        # L static slices of the zero-padded bank (cheap, fuses; both
+        # contractions below become plain MXU matmuls, which avoids XLA's
+        # pathological lowering of the wide-channel conv formulation)
+        bankpad = jnp.pad(bank_oh, ((0, 0), (L - 1, L - 1)))  # [5, Q+L-1]
+        K = jnp.stack([bankpad[:, j:j + Q] for j in range(L)])  # [L, 5, Q]
+        K = K.reshape(L * encode.NBASE, Q)
 
         # 1) exhaustive match counts at every alignment (MXU)
-        matches = lax.conv_general_dilated(
-            bank_oh[None], read_oh_f,
-            window_strides=(1,), padding=[(Lpad - 1, Lpad - 1)],
-            dimension_numbers=('NCH', 'OIH', 'NCH'),
-            preferred_element_type=jnp.float32,
-        )[0].astype(jnp.int32)                               # [B, Q]
+        matches = jnp.dot(read_flat, K,
+                          preferred_element_type=jnp.float32)
+        matches = matches.astype(jnp.int32)                  # [B, Q]
 
         # 2) mode gating (VPU) -- see kvarq_tpu.engine.hitmodel
         d = d_of[None, :]
@@ -107,17 +113,14 @@ def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
         seqhits = jax.ops.segment_sum(w_q, tseg, num_segments=T + 1)
         seqbasehits = jax.ops.segment_sum(wov_q, tseg, num_segments=T + 1)
 
-        # 4) coverage accumulation: second correlation scattering each
-        # hit's read bases onto bank positions (MXU).
-        #   basecount[c, g] = sum_b sum_j w[b, g + Lpad-1 - j] read_oh[b,j,c]
-        w_in = w.astype(in_dtype)[None]                       # [1, B, Q]
-        read_oh_flip = jnp.transpose(read_oh[:, ::-1, :], (2, 0, 1))
-        basecount = lax.conv_general_dilated(
-            w_in, read_oh_flip,
-            window_strides=(1,), padding=[(0, 0)],
-            dimension_numbers=('NCH', 'OIH', 'NCH'),
-            preferred_element_type=jnp.float32,
-        )[0]                                                  # [5, G]
+        # 4) coverage accumulation: scatter each hit's read bases onto bank
+        # positions -- one MXU matmul plus a static diagonal fold.
+        #   basecount[c, g] = sum_b sum_j w[b, g + L-1 - j] read_oh[b,j,c]
+        RTw = jnp.dot(read_flat.T, w.astype(in_dtype),
+                      preferred_element_type=jnp.float32)     # [L*5, Q]
+        RTw = RTw.reshape(L, encode.NBASE, Q)
+        basecount = sum(RTw[j, :, L - 1 - j:L - 1 - j + G]
+                        for j in range(L))                    # [5, G]
 
         if axis_name is not None:
             basecount = lax.psum(basecount, axis_name)

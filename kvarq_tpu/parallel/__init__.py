@@ -1,0 +1,248 @@
+'''
+Multi-chip scale-out over a ``jax.sharding.Mesh``.
+
+The reference scales with pthreads over a shared FastQ stream plus
+mutex-guarded shared counters (csrc/workhorse.c:1375-1408, :78-83); batch
+level scale-out is manual shell loops (docs/tutorial.rst:366-374).  The
+TPU-native equivalent implemented here shards the tensorized scan step
+(kvarq_tpu.engine.tensor_scan) over a 2-D device mesh:
+
+- ``data`` axis: read batches are sharded data-parallel; per-template
+  statistics are merged with ``psum`` over ICI -- replacing the reference's
+  ``ll_mutex``-guarded hit accumulation with a collective reduction.  The
+  reference's own ``findseqs(f) == findseqs([f1,f2])`` invariant
+  (tests/test_engine.py:184-205) licenses offset-independent merging.
+- ``bank`` axis: the template bank is sharded template-parallel (the
+  tensor-parallel analog): each shard matches all its reads against a
+  subset of the templates; per-template outputs need no reduction (they
+  are disjoint) and global stat vectors are psum-merged since shards hold
+  zeros outside their template range.
+
+Single-device results are bitwise-identical to multi-device results by
+construction: every (read, template) pair is scanned on exactly one shard
+and all accumulation is integer-exact.
+'''
+
+import numpy as np
+
+from kvarq_tpu.engine import encode
+from kvarq_tpu.engine.match_xla import _Bank
+from kvarq_tpu.engine.tensor_scan import scan_step_fn
+
+
+def make_mesh(n_data=None, n_bank=1, devices=None):
+    ''' build a 2-D ('data', 'bank') mesh over the given (default: all)
+        devices '''
+    import jax
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_bank
+    n = n_data * n_bank
+    arr = np.asarray(devices[:n]).reshape(n_data, n_bank)
+    return jax.sharding.Mesh(arr, ('data', 'bank'))
+
+
+def split_templates(nseqs, n_bank):
+    ''' contiguous template ranges [(lo, hi)...] per bank shard '''
+    per = (nseqs + n_bank - 1) // n_bank
+    return [(min(i * per, nseqs), min((i + 1) * per, nseqs))
+            for i in range(n_bank)]
+
+
+class ShardBank:
+    ''' per-bank-shard template sub-banks, padded to a common width G so
+        they stack into one [n_bank, ...] device array.  ``tid`` uses
+        *global* template numbering so per-shard stat vectors psum-merge
+        into the global ones. '''
+
+    def __init__(self, seqs, Lpad, n_bank):
+        self.Lpad = Lpad
+        self.n_bank = n_bank
+        self.ranges = split_templates(len(seqs), n_bank)
+        banks = [_Bank(seqs[lo:hi], Lpad) for lo, hi in self.ranges]
+        self.G = max(b.G for b in banks) if banks else 0
+        self.sub = banks
+
+        def pad(a, fill):
+            out = np.full((self.G,) + a.shape[1:], fill, dtype=a.dtype)
+            out[:len(a)] = a
+            return out
+
+        codes, tid, d_of, seql_of = [], [], [], []
+        for (lo, hi), b in zip(self.ranges, banks):
+            gtid = b.tid.copy()
+            gtid[gtid >= 0] += lo
+            q_fill = self.G + Lpad - 1
+            codes.append(np.pad(b.codes, (0, self.G - b.G),
+                                constant_values=encode.CODE_TMPL_JUNK))
+            tid.append(np.pad(gtid, (0, q_fill - b.Q), constant_values=-1))
+            d_of.append(np.pad(b.d_of, (0, q_fill - b.Q)))
+            seql_of.append(np.pad(b.seql_of, (0, q_fill - b.Q),
+                                  constant_values=1))
+        self.codes = np.stack(codes)        # [n_bank, G]
+        self.tid = np.stack(tid)            # [n_bank, Q]
+        self.d_of = np.stack(d_of)
+        self.seql_of = np.stack(seql_of)
+
+    def device_arrays(self, dtype_name):
+        import jax
+        import jax.numpy as jnp
+        dtype = jnp.dtype(dtype_name)
+        bank_oh = jax.nn.one_hot(jnp.asarray(self.codes), encode.NBASE,
+                                 dtype=dtype)                # [nb, G, 5]
+        bank_oh = jnp.transpose(bank_oh, (0, 2, 1))          # [nb, 5, G]
+        return dict(
+            bank_oh=bank_oh,
+            d_of=jnp.asarray(self.d_of),
+            seql_of=jnp.asarray(self.seql_of),
+            tid=jnp.asarray(self.tid),
+            valid_q=jnp.asarray(self.tid >= 0),
+        )
+
+
+def sharded_scan_step(mesh, Lpad, G, T, maxerrors, minoverlap,
+                      dtype_name='bfloat16'):
+    '''
+    jit-compiled shard_map'd scan step over ``mesh``:
+
+    ``step(codes [B, Lpad], rl [B], **bank arrays [n_bank, ...]) ->
+    (basecount [n_bank, 5, G], seqhits [T+1], seqbasehits [T+1])``
+
+    ``B`` must be divisible by the data-axis size (pad with rl=0 rows).
+    basecount stays sharded over 'bank' (disjoint templates); the stat
+    vectors are psum'd over both axes and come back fully replicated.
+    '''
+    import jax
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    inner = scan_step_fn(Lpad, G, T, maxerrors, minoverlap,
+                         dtype_name=dtype_name)
+
+    def shard_fn(codes, rl, bank_oh, d_of, seql_of, tid, valid_q):
+        basecount, seqhits, seqbasehits = inner(
+            codes, rl, bank_oh[0], d_of[0], seql_of[0], tid[0], valid_q[0])
+        basecount = lax.psum(basecount, 'data')
+        seqhits = lax.psum(seqhits, ('data', 'bank'))
+        seqbasehits = lax.psum(seqbasehits, ('data', 'bank'))
+        return basecount[None], seqhits, seqbasehits
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P('data'), P('data'),
+                  P('bank'), P('bank'), P('bank'), P('bank'), P('bank')),
+        out_specs=(P('bank'), P(), P()))
+    return jax.jit(mapped)
+
+
+class ShardedScanner:
+    ''' multi-device counterpart of
+        :py:class:`kvarq_tpu.engine.tensor_scan.TensorScanner`: accumulates
+        per-template base counts and stats over batches, sharded over a
+        ('data', 'bank') mesh.  Results are bitwise-equal to the
+        single-device scanner. '''
+
+    def __init__(self, seqs, maxerrors, minoverlap, mesh=None):
+        import jax
+        self.seqs = list(seqs)
+        self.maxerrors = maxerrors
+        self.minoverlap = minoverlap
+        self.T = len(self.seqs)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_data = self.mesh.shape['data']
+        self.n_bank = self.mesh.shape['bank']
+        self.platform = jax.default_backend()
+        self._ctx = {}
+        self.reset()
+
+    def reset(self):
+        self.basecounts = {}   # Lpad -> accumulated [n_bank, 5, G] numpy
+        self.seqhits = np.zeros(self.T, dtype=np.int64)
+        self.seqbasehits = np.zeros(self.T, dtype=np.int64)
+
+    def _context(self, Lpad):
+        if Lpad not in self._ctx:
+            bank = ShardBank(self.seqs, Lpad, self.n_bank)
+            dtype = 'float32' if self.platform == 'cpu' else 'bfloat16'
+            arrays = bank.device_arrays(dtype)
+            step = sharded_scan_step(
+                self.mesh, Lpad, bank.G, self.T, self.maxerrors,
+                self.minoverlap, dtype_name=dtype)
+            self._ctx[Lpad] = (bank, arrays, step)
+        return self._ctx[Lpad]
+
+    def scan_batch(self, batch):
+        import jax.numpy as jnp
+        B, Lpad = batch.codes.shape
+        if not self.T:
+            return
+        bank, arrays, step = self._context(Lpad)
+
+        codes, rl = batch.codes, batch.rl
+        rem = B % self.n_data
+        if rem:  # pad to a multiple of the data axis (rl=0 rows gate out)
+            pad = self.n_data - rem
+            codes = np.concatenate(
+                [codes, np.full((pad, Lpad), encode.CODE_READ_JUNK,
+                                dtype=np.uint8)])
+            rl = np.concatenate([rl, np.zeros(pad, dtype=np.int32)])
+
+        basecount, seqhits, seqbasehits = step(
+            jnp.asarray(codes), jnp.asarray(rl),
+            arrays['bank_oh'], arrays['d_of'], arrays['seql_of'],
+            arrays['tid'], arrays['valid_q'])
+        acc = self.basecounts.setdefault(
+            Lpad, np.zeros((self.n_bank, encode.NBASE, bank.G),
+                           dtype=np.float64))
+        acc += np.asarray(basecount, dtype=np.float64)
+        self.seqhits += np.asarray(seqhits[:self.T], dtype=np.int64)
+        self.seqbasehits += np.asarray(seqbasehits[:self.T], dtype=np.int64)
+
+    def coverages(self):
+        ''' list (per template, ``seqs`` order) of [5, S] base counts '''
+        per_template = [np.zeros((encode.NBASE, len(s)), dtype=np.float64)
+                        for s in self.seqs]
+        for Lpad, acc in self.basecounts.items():
+            bank = self._ctx[Lpad][0]
+            gap = Lpad
+            for shard, (lo, hi) in enumerate(bank.ranges):
+                pos = 0
+                for t in range(lo, hi):
+                    pos += gap
+                    S = len(self.seqs[t])
+                    per_template[t] += acc[shard, :, pos:pos + S]
+                    pos += S
+        return per_template
+
+
+def dryrun(n_devices):
+    ''' compile + execute one sharded scan step on an ``n_devices`` mesh
+        with tiny shapes; used by the driver's multi-chip validation '''
+    import jax
+
+    devices = jax.devices()
+    assert len(devices) >= n_devices, \
+        'need %d devices, have %d' % (n_devices, len(devices))
+    n_bank = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+    mesh = make_mesh(n_devices // n_bank, n_bank, devices)
+
+    seqs = ['ACGTACGTACGTACGTACGTACGTA',
+            'TTGACCTGAACGTTGACCTGAACGT',
+            'CACCGGTGTAGGCAAGTCGTAACAAGG',
+            'GGCATTTTCGGGGCATTTTCGGGGCATT']
+    scanner = ShardedScanner(seqs, maxerrors=1, minoverlap=10, mesh=mesh)
+
+    from kvarq_tpu.engine.reader import RecordBatch
+    B, Lpad = 8 * n_devices, 64
+    rng = np.random.RandomState(0)
+    raw = rng.choice(np.frombuffer(b'ACGT', dtype=np.uint8), (B, Lpad))
+    raw[0, :25] = np.frombuffer(seqs[0].encode(), dtype=np.uint8)
+    codes = encode.encode_read_array(raw)
+    rl = np.full(B, Lpad, dtype=np.int32)
+    scanner.scan_batch(RecordBatch(codes, rl,
+                                   np.zeros(B, dtype=np.int64), raw))
+    covs = scanner.coverages()
+    assert len(covs) == len(seqs)
+    assert int(scanner.seqhits.sum()) >= 1  # the planted read must hit
+    return scanner

@@ -1,0 +1,91 @@
+'''
+Multi-chip sharding tests on the virtual 8-device CPU mesh: the sharded
+scanner must produce bitwise-identical coverages/stats to the single-device
+tensor scanner and to the hit-list path, for every mesh shape.
+'''
+
+import os.path
+
+import numpy as np
+import pytest
+
+from kvarq_tpu import engine
+from kvarq_tpu.engine import encode, reader
+from kvarq_tpu import parallel
+
+HERE = os.path.abspath(os.path.dirname(__file__))
+FASTQS = os.path.join(HERE, 'fastqs')
+
+COMPL = {'A': 'T', 'T': 'A', 'C': 'G', 'G': 'C', 'N': 'N'}
+
+
+def _revcomp(s):
+    return ''.join(COMPL[c] for c in reversed(s))
+
+
+def _hitpath_basecounts(fname, seqs):
+    ret = engine.findseqs(fname, seqs)
+    bcs = [np.zeros((encode.NBASE, len(s)), dtype=np.int64) for s in seqs]
+    for hit, hs in zip(ret['hits'], ret['hitseqs']):
+        start = max(0, hit.seq_pos)
+        codes = encode.encode_read(hs.encode('latin-1'))
+        for i in range(hit.length):
+            bcs[hit.seq_nr][codes[i], start + i] += 1
+    return bcs, ret['stats']
+
+
+@pytest.mark.parametrize('n_data,n_bank', [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_equals_hitpath(n_data, n_bank):
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 (virtual) devices')
+
+    fname = os.path.join(FASTQS, 'test_engine.fastq')
+    plus = ['CACCGGTGTAGGCAAGTCGTAACAAGG', 'TTTTTTTTTTGGGGGGGGGG',
+            'CCCC', 'CCC']
+    seqs = plus + [_revcomp(s) for s in plus]
+
+    engine.config(maxerrors=1, minoverlap=5, minreadlength=5, Amin='!')
+    ref_bcs, ref_stats = _hitpath_basecounts(fname, seqs)
+
+    mesh = parallel.make_mesh(n_data, n_bank)
+    scanner = parallel.ShardedScanner(seqs, maxerrors=1, minoverlap=5,
+                                      mesh=mesh)
+    stats = reader.ReaderStats()
+    for batch in reader.batches([fname], ord('!'), 5, stats):
+        scanner.scan_batch(batch)
+
+    for t, (r, g) in enumerate(zip(ref_bcs, scanner.coverages())):
+        assert np.array_equal(r, g.astype(np.int64)), 'template %d' % t
+    assert np.array_equal(np.asarray(ref_stats['nseqhits']),
+                          scanner.seqhits)
+    assert np.array_equal(np.asarray(ref_stats['nseqbasehits']),
+                          scanner.seqbasehits)
+
+
+def test_odd_batch_padding():
+    ''' batches not divisible by the data axis are padded with rl=0 rows '''
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 (virtual) devices')
+
+    seqs = ['CACCGGTGTAGGCAAGTCGTAACAA']
+    mesh = parallel.make_mesh(8, 1)
+    scanner = parallel.ShardedScanner(seqs, maxerrors=0, minoverlap=10,
+                                      mesh=mesh)
+    B, Lpad = 13, 64  # 13 % 8 != 0
+    raw = np.full((B, Lpad), ord('G'), dtype=np.uint8)
+    raw[3, :25] = np.frombuffer(seqs[0].encode(), dtype=np.uint8)
+    codes = encode.encode_read_array(raw)
+    rl = np.full(B, 40, dtype=np.int32)
+    scanner.scan_batch(reader.RecordBatch(
+        codes, rl, np.zeros(B, dtype=np.int64), raw))
+    assert int(scanner.seqhits[0]) == 1
+    depth = scanner.coverages()[0].sum(axis=0)
+    assert depth[:25].tolist() == [1] * 25
+
+
+def test_dryrun():
+    import jax
+    n = min(8, len(jax.devices()))
+    parallel.dryrun(n)
