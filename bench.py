@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+'''
+Headline benchmark: reads/second scanning a synthetic Illumina-like FastQ
+against the full MTBC testsuites (phylo + resistance + spoligo, 131
+templates x 2 strands), measured on the default JAX device.
+
+Prints ONE json line:
+    {"metric": "scan_reads_per_s", "value": N, "unit": "reads/s",
+     "vs_baseline": R}
+
+``vs_baseline`` is measured against the reference C engine's throughput on
+the same data/config (8 threads, see BASELINE.md).  The reference cannot be
+built here (Python 2 C-API); the baseline number comes from
+``tools/ref_bench.c``, a faithful standalone reimplementation of the
+reference hot loop (csrc/workhorse.c:976-1197) measured on this machine's
+CPU -- see BASELINE.md "measured" table.
+
+Env knobs: KVARQ_BENCH_READS (default 100000), KVARQ_BENCH_READLEN (101),
+KVARQ_BENCH_WARMUP (1).
+'''
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.abspath(os.path.dirname(__file__))
+sys.path.insert(0, HERE)
+
+# reference-equivalent C scanner, 8 threads, same data/config (BASELINE.md)
+BASELINE_READS_PER_S = 101_000.0
+
+N_READS = int(os.environ.get('KVARQ_BENCH_READS', '100000'))
+READLEN = int(os.environ.get('KVARQ_BENCH_READLEN', '101'))
+MUTRATE = 0.005         # per-base sequencing-error rate in planted reads
+PLANT_FRAC = 0.03       # fraction of reads drawn from template loci
+
+
+def load_mtbc():
+    from kvarq_tpu.log import set_warning
+    set_warning()
+    from kvarq_tpu.testsuites import discover_testsuites, load_testsuites
+    paths = discover_testsuites([os.path.join(HERE, 'testsuites')])
+    return load_testsuites(paths, ['MTBC'])
+
+
+def template_windows(suites, spacing=25):
+    from kvarq_tpu.analyse import Analyser
+    analyser = Analyser()
+    coverages = analyser.load_coverages(suites, spacing=spacing)
+    return [c.plus_seq.bases for c in coverages.values()]
+
+
+def generate_fastq(path, windows, n_reads, readlen, seed=20260817):
+    ''' deterministic synthetic FastQ: mostly random background plus a
+        fraction of reads drawn from template loci with sequencing errors
+        and occasional low-quality tails (exercises quality trimming) '''
+    rng = np.random.RandomState(seed)
+    bases = np.frombuffer(b'ACGT', dtype=np.uint8)
+    qhi, qlo = b'I'[0], b'#'[0]   # Q40 / Q2 (Sanger)
+
+    lines = []
+    for i in range(n_reads):
+        if rng.rand() < PLANT_FRAC and windows:
+            w = windows[rng.randint(len(windows))].encode()
+            if len(w) >= readlen:
+                off = rng.randint(len(w) - readlen + 1)
+                read = np.frombuffer(w[off:off + readlen], np.uint8).copy()
+            else:
+                read = rng.choice(bases, readlen)
+                off = rng.randint(readlen - len(w) + 1)
+                read[off:off + len(w)] = np.frombuffer(w, np.uint8)
+            errs = rng.rand(readlen) < MUTRATE
+            read[errs] = bases[rng.randint(4, size=int(errs.sum()))]
+        else:
+            read = rng.choice(bases, readlen)
+        qual = np.full(readlen, qhi, dtype=np.uint8)
+        if rng.rand() < 0.1:   # low-quality tail
+            tail = rng.randint(1, readlen // 2)
+            qual[-tail:] = qlo
+        lines.append('@r%d' % i)
+        lines.append(read.tobytes().decode('latin-1'))
+        lines.append('+')
+        lines.append(qual.tobytes().decode('latin-1'))
+    with open(path, 'w') as f:
+        f.write('\n'.join(lines) + '\n')
+
+
+def bench_path(tag):
+    return os.path.join(
+        '/tmp', 'kvarq_bench_%s_%dx%d.fastq' % (tag, N_READS, READLEN))
+
+
+def main():
+    from kvarq_tpu import engine
+
+    suites = load_mtbc()
+    windows = template_windows(suites)
+
+    path = bench_path('mtbc')
+    if not os.path.exists(path):
+        t0 = time.time()
+        generate_fastq(path, windows, N_READS, READLEN)
+        print('generated %s in %.1fs' % (path, time.time() - t0),
+              file=sys.stderr)
+
+    from kvarq_tpu.analyse import Analyser
+
+    seqs = None
+    # build the template sequence list exactly like Analyser.scan does
+    analyser = Analyser()
+    coverages = analyser.load_coverages(suites, spacing=analyser.spacing)
+    seqs = [c.plus_seq.bases for c in coverages.values()]
+    seqs += [c.minus_seq.bases for c in coverages.values()]
+
+    engine.config(maxerrors=2, minoverlap=25, minreadlength=25,
+                  Amin=chr(33 + 13))  # CLI defaults (config.py / cli.py)
+
+    if int(os.environ.get('KVARQ_BENCH_WARMUP', '1')):
+        # warm the jit caches on a small prefix so compile time is excluded
+        wpath = bench_path('warmup')
+        if not os.path.exists(wpath):
+            with open(path) as f, open(wpath, 'w') as g:
+                for _ in range(4 * 2048):
+                    line = f.readline()
+                    if not line:
+                        break
+                    g.write(line)
+        t0 = time.time()
+        engine.countseqs(wpath, seqs)
+        print('warmup (incl. compile): %.1fs' % (time.time() - t0),
+              file=sys.stderr)
+
+    t0 = time.time()
+    ret = engine.countseqs(path, seqs)
+    dt = time.time() - t0
+    nrec = ret['stats']['records_parsed']
+    rps = nrec / dt
+    nhits = int(np.asarray(ret['stats']['nseqhits']).sum())
+    print('scanned %d records in %.2fs (%d template hits)'
+          % (nrec, dt, nhits), file=sys.stderr)
+
+    print(json.dumps({
+        'metric': 'scan_reads_per_s',
+        'value': round(rps, 1),
+        'unit': 'reads/s',
+        'vs_baseline': round(rps / BASELINE_READS_PER_S, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -319,8 +319,13 @@ def countseqs(fname, seqs):
         except reader.FastqFormatError as e:
             raise FastqFileFormatException(str(e))
 
-        basecounts = [bc.astype(np.int64) for bc in scanner.coverages()] \
-            if scanner is not None else []
+        if scanner is not None:
+            scanner.finalize()
+            _seqhits[:] = scanner.seqhits
+            _seqbasehits[:] = scanner.seqbasehits
+            basecounts = [bc.astype(np.int64) for bc in scanner.coverages()]
+        else:
+            basecounts = []
         return {
             'basecounts': basecounts,
             'stats': stats(),

@@ -50,14 +50,22 @@ def bank_device_arrays(bank, dtype=None):
 
 
 def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
-                 axis_name=None):
+                 axis_name=None, gather_k=None):
     '''
     build the jit-able scan step.
 
     :param axis_name: when set, the step runs under shard_map/pmap over
         that mesh axis and psums its outputs across it
+    :param gather_k: when set, the (expensive) coverage-accumulation matmul
+        runs only over up to ``gather_k`` *hitting* reads compacted on
+        device -- hits are sparse in genome-scale FastQs -- with a
+        ``lax.cond`` fallback to the full matmul when more reads hit
     :returns: step(codes [B, Lpad] uint8, rl [B] int32, bank arrays...) ->
         (basecount [5, G] f32, seqhits [T+1] i32, seqbasehits [T+1] i32)
+
+    All arithmetic is integer-exact: match/overlap counts are < 2^24 so
+    their f32 images are exact; one-hot inputs are exactly representable
+    in bfloat16.
     '''
     import jax
     import jax.numpy as jnp
@@ -70,6 +78,7 @@ def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
     def step(codes, rl, bank_oh, d_of, seql_of, tid, valid_q):
         read_oh = jax.nn.one_hot(codes, encode.NBASE, dtype=in_dtype)
         read_flat = read_oh.reshape(-1, L * encode.NBASE)   # [B, L*5]
+        B = read_flat.shape[0]
 
         # im2col'd bank: K[(j,c), q] = bank_oh[c, q-(L-1)+j] -- built from
         # L static slices of the zero-padded bank (cheap, fuses; both
@@ -81,16 +90,17 @@ def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
 
         # 1) exhaustive match counts at every alignment (MXU)
         matches = jnp.dot(read_flat, K,
-                          preferred_element_type=jnp.float32)
-        matches = matches.astype(jnp.int32)                  # [B, Q]
+                          preferred_element_type=jnp.float32)  # [B, Q]
 
-        # 2) mode gating (VPU) -- see kvarq_tpu.engine.hitmodel
+        # 2) mode gating -- elementwise, fused by XLA into the matmul
+        # consumers (see kvarq_tpu.engine.hitmodel for the semantics)
         d = d_of[None, :]
         seql = seql_of[None, :]
         rl_ = rl[:, None].astype(jnp.int32)
         mo = minoverlap
 
-        ov = jnp.minimum(seql, d + rl_) - jnp.maximum(0, d)
+        ov = (jnp.minimum(seql, d + rl_)
+              - jnp.maximum(0, d)).astype(jnp.float32)
         mism = ov - matches
 
         ab = (rl_ > mo) & (seql > mo)
@@ -101,10 +111,9 @@ def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
         wD = (rl_ <= seql) & (d >= 0) & (d <= seql - rl_)
 
         passing = valid_q[None, :] & (rl_ > 0) & (mism <= maxerrors)
-        w = jnp.where(passing,
-                      wA.astype(jnp.int32) + wB.astype(jnp.int32)
-                      + wC.astype(jnp.int32) + wD.astype(jnp.int32),
-                      0)                                      # [B, Q]
+        nmodes = (wA.astype(jnp.float32) + wB.astype(jnp.float32)
+                  + wC.astype(jnp.float32) + wD.astype(jnp.float32))
+        w = jnp.where(passing, nmodes, 0.)                    # [B, Q] f32
 
         # 3) per-template stats
         tseg = jnp.where(tid >= 0, tid, T)
@@ -112,12 +121,33 @@ def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
         wov_q = jnp.sum(w * ov, axis=0)
         seqhits = jax.ops.segment_sum(w_q, tseg, num_segments=T + 1)
         seqbasehits = jax.ops.segment_sum(wov_q, tseg, num_segments=T + 1)
+        seqhits = seqhits.astype(jnp.int32)
+        seqbasehits = seqbasehits.astype(jnp.int32)
 
         # 4) coverage accumulation: scatter each hit's read bases onto bank
         # positions -- one MXU matmul plus a static diagonal fold.
         #   basecount[c, g] = sum_b sum_j w[b, g + L-1 - j] read_oh[b,j,c]
-        RTw = jnp.dot(read_flat.T, w.astype(in_dtype),
-                      preferred_element_type=jnp.float32)     # [L*5, Q]
+        def rtw_full(_):
+            return jnp.dot(read_flat.T, w.astype(in_dtype),
+                           preferred_element_type=jnp.float32)
+
+        if gather_k is not None and gather_k < B:
+            # compact the (sparse) hitting reads into gather_k slots
+            hit_b = jnp.sum(w, axis=1) > 0                    # [B]
+            count = jnp.sum(hit_b.astype(jnp.int32))
+            (idx,) = jnp.nonzero(hit_b, size=gather_k, fill_value=0)
+            fill = (jnp.arange(gather_k) < count).astype(in_dtype)
+            rg = read_flat[idx] * fill[:, None]               # [k, L*5]
+            wg = w[idx].astype(in_dtype) * fill[:, None]      # [k, Q]
+
+            def rtw_gathered(_):
+                return jnp.dot(rg.T, wg,
+                               preferred_element_type=jnp.float32)
+
+            RTw = lax.cond(count <= gather_k, rtw_gathered, rtw_full, None)
+        else:
+            RTw = rtw_full(None)
+
         RTw = RTw.reshape(L, encode.NBASE, Q)
         basecount = sum(RTw[j, :, L - 1 - j:L - 1 - j + G]
                         for j in range(L))                    # [5, G]
@@ -132,8 +162,20 @@ def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
 
 
 class TensorScanner:
-    ''' single-device convenience wrapper: accumulates bank-position base
-        counts and per-template stats over many batches '''
+    ''' single-device scan driver: accumulates bank-position base counts
+        and per-template stats over many batches.
+
+        All accumulation happens *on device* in donated buffers -- the
+        steady-state loop uploads read batches and never transfers results
+        back, so device dispatch pipelines fully (important over networked
+        TPU attachments).  Accumulators are flushed to exact host int64
+        every :py:data:`FLUSH_STEPS` steps, far below any f32/i32
+        exactness/overflow bound. '''
+
+    # cap on B*Q f32 elements materialized per device step (the [B, Q]
+    # matches tensor); the Pallas backend fuses it away instead
+    ELEM_BUDGET = 96 * 1024 * 1024
+    FLUSH_STEPS = 64
 
     def __init__(self, seqs, maxerrors, minoverlap):
         import jax
@@ -146,37 +188,74 @@ class TensorScanner:
         self.reset()
 
     def reset(self):
-        self.basecounts = {}   # Lpad -> accumulated [5, G] numpy
+        self.basecounts = {}   # Lpad -> accumulated [5, G] numpy float64
         self.seqhits = np.zeros(self.T, dtype=np.int64)
         self.seqbasehits = np.zeros(self.T, dtype=np.int64)
+        for ctx in self._ctx.values():
+            ctx['acc'] = None
+            ctx['steps'] = 0
 
     def _context(self, Lpad):
         if Lpad not in self._ctx:
             import jax
+            import functools
             bank = build_bank(self.seqs, Lpad)
             arrays = bank_device_arrays(bank)
             dtype = 'float32' if self.platform == 'cpu' else 'bfloat16'
-            step = jax.jit(scan_step_fn(
+            Q = bank.G + Lpad - 1
+            sub = max(64, min(8192, self.ELEM_BUDGET // max(Q, 1)))
+            gather_k = max(128, sub // 8)
+            step = scan_step_fn(
                 Lpad, bank.G, self.T, self.maxerrors, self.minoverlap,
-                dtype_name=dtype))
-            self._ctx[Lpad] = (bank, arrays, step)
+                dtype_name=dtype, gather_k=gather_k)
+
+            def step_acc(codes, rl, acc_bc, acc_sh, acc_sbh,
+                         bank_oh, d_of, seql_of, tid, valid_q):
+                bc, sh, sbh = step(codes, rl, bank_oh, d_of, seql_of,
+                                   tid, valid_q)
+                return acc_bc + bc, acc_sh + sh, acc_sbh + sbh
+
+            self._ctx[Lpad] = dict(
+                bank=bank, arrays=arrays, sub=sub,
+                step=jax.jit(step_acc, donate_argnums=(2, 3, 4)),
+                acc=None, steps=0)
         return self._ctx[Lpad]
 
-    # cap on B*Q f32 elements materialized per device step (the conv's
-    # [B, Q] matches tensor); the Pallas backend fuses it away instead
-    ELEM_BUDGET = 48 * 1024 * 1024
+    def _zero_acc(self, ctx):
+        import jax.numpy as jnp
+        G = ctx['bank'].G
+        return (jnp.zeros((encode.NBASE, G), dtype=jnp.float32),
+                jnp.zeros(self.T + 1, dtype=jnp.int32),
+                jnp.zeros(self.T + 1, dtype=jnp.int32))
+
+    def _flush(self, Lpad):
+        ''' move device accumulators into the exact host-side int64/float64
+            accumulators '''
+        ctx = self._ctx[Lpad]
+        if ctx['acc'] is None:
+            return
+        acc_bc, acc_sh, acc_sbh = ctx['acc']
+        host = self.basecounts.setdefault(
+            Lpad, np.zeros((encode.NBASE, ctx['bank'].G), dtype=np.float64))
+        host += np.asarray(acc_bc, dtype=np.float64)
+        self.seqhits += np.asarray(acc_sh[:self.T], dtype=np.int64)
+        self.seqbasehits += np.asarray(acc_sbh[:self.T], dtype=np.int64)
+        ctx['acc'] = None
+        ctx['steps'] = 0
+
+    def finalize(self):
+        ''' flush all pending device accumulators; must be called before
+            reading ``seqhits``/``seqbasehits``/:py:meth:`coverages` '''
+        for Lpad in list(self._ctx):
+            self._flush(Lpad)
 
     def scan_batch(self, batch):
         import jax.numpy as jnp
         B, Lpad = batch.codes.shape
-        bank, arrays, step = self._context(Lpad)
-        if bank.G == 0:
+        ctx = self._context(Lpad)
+        if ctx['bank'].G == 0:
             return
-        acc = self.basecounts.setdefault(
-            Lpad, np.zeros((encode.NBASE, bank.G), dtype=np.float64))
-
-        Q = bank.G + Lpad - 1
-        sub = max(64, min(B, self.ELEM_BUDGET // max(Q, 1)))
+        sub = ctx['sub']
         for lo_ in range(0, B, sub):
             hi = min(B, lo_ + sub)
             codes = batch.codes[lo_:hi]
@@ -187,11 +266,14 @@ class TensorScanner:
                     [codes, np.full((pad, Lpad), encode.CODE_READ_JUNK,
                                     dtype=np.uint8)])
                 rl = np.concatenate([rl, np.zeros(pad, dtype=np.int32)])
-            basecount, seqhits, seqbasehits = step(
-                jnp.asarray(codes), jnp.asarray(rl), **arrays)
-            acc += np.asarray(basecount, dtype=np.float64)
-            self.seqhits += np.asarray(seqhits[:self.T], dtype=np.int64)
-            self.seqbasehits += np.asarray(seqbasehits[:self.T], dtype=np.int64)
+            if ctx['acc'] is None:
+                ctx['acc'] = self._zero_acc(ctx)
+            ctx['acc'] = ctx['step'](
+                jnp.asarray(codes), jnp.asarray(rl), *ctx['acc'],
+                **ctx['arrays'])
+            ctx['steps'] += 1
+            if ctx['steps'] >= self.FLUSH_STEPS:
+                self._flush(Lpad)
 
     def coverages(self):
         '''
@@ -199,6 +281,7 @@ class TensorScanner:
             arrays [5, S] in template-local coordinates, summed over all
             processed batches
         '''
+        self.finalize()
         per_template = [np.zeros((encode.NBASE, len(s)), dtype=np.float64)
                         for s in self.seqs]
         for Lpad, acc in self.basecounts.items():
