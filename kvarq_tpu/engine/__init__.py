@@ -57,7 +57,7 @@ _config = {
 # kvarq_tpu extensions (not part of get_config() for json parity)
 _extra_config = {
     'backend': os.environ.get('KVARQ_BACKEND', 'auto'),
-    'batchsize': int(os.environ.get('KVARQ_BATCHSIZE', '4096')),
+    'batchsize': int(os.environ.get('KVARQ_BATCHSIZE', '16384')),
     'sieve': os.environ.get('KVARQ_SIEVE', 'auto'),
 }
 

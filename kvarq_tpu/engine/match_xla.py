@@ -38,34 +38,55 @@ ELEM_BUDGET = 48 * 1024 * 1024  # cap on B*Q f32 elements per device step
 
 
 class _Bank:
-    ''' concatenated template bank for a given read padding Lpad '''
+    ''' concatenated template bank for a given read padding Lpad.
 
-    def __init__(self, seqs, Lpad):
+        Gap between templates: with ``minoverlap`` given, the mode gating
+        (hitmodel) bounds any *passing* alignment's hang-off past either
+        template end by ``rl - minoverlap`` (modes A/B) or ``rl - seql``
+        (mode C full containment), so ``Lpad - min(minoverlap, S_left,
+        S_right)`` never-matching bases fully isolate neighbors while
+        shrinking the bank ~20% vs. the conservative ``Lpad`` clearance.
+        Shift columns below the left-hang bound carry no tid and are
+        gated out. '''
+
+    def __init__(self, seqs, Lpad, minoverlap=None):
         self.Lpad = Lpad
-        gap = Lpad  # hitmodel.clearance
         codes = []
         tstart = []
+        gaps = []
         pos = 0
+        prev_S = None
         for s in seqs:
+            if minoverlap is not None and minoverlap >= 1:
+                clear = min(minoverlap, max(len(s), 1))
+                if prev_S is not None:
+                    clear = min(clear, max(prev_S, 1))
+                gap = max(Lpad - clear, 0)
+            else:
+                gap = Lpad  # conservative clearance
+            prev_S = len(s)
+            gaps.append(gap)
             pos += gap
             tstart.append(pos)
             c = encode.encode_template(s)
             codes.append(np.full(gap, encode.CODE_TMPL_JUNK, dtype=np.uint8))
             codes.append(c)
             pos += len(c)
-        codes.append(np.full(gap, encode.CODE_TMPL_JUNK, dtype=np.uint8))
         self.codes = np.concatenate(codes) if codes else \
             np.zeros(0, dtype=np.uint8)
         self.G = len(self.codes)
         self.Q = self.G + Lpad - 1
+        self.tstart = tstart
 
-        # per-position maps: template id / shift d / template length
+        # per-position maps: template id / shift d / template length; only
+        # shifts that can pass the mode gating (d >= -gap) carry a tid, so
+        # neighboring templates' ranges stay disjoint
         tid = np.full(self.Q, -1, dtype=np.int32)
         d_of = np.zeros(self.Q, dtype=np.int32)
         seql_of = np.ones(self.Q, dtype=np.int32)
-        for t, (bs, s) in enumerate(zip(tstart, seqs)):
+        for t, (bs, gap, s) in enumerate(zip(tstart, gaps, seqs)):
             S = len(s)
-            lowest = bs - (Lpad - 1)   # read start in bank coords
+            lowest = bs - gap          # leftmost passing read start
             highest = bs + S - 1
             qlo = lowest + (Lpad - 1)
             qhi = highest + (Lpad - 1)
@@ -142,7 +163,7 @@ class XlaMatcher:
 
     def _bank(self, Lpad):
         if Lpad not in self._banks:
-            self._banks[Lpad] = _Bank(self.seqs, Lpad)
+            self._banks[Lpad] = _Bank(self.seqs, Lpad, self.minoverlap)
         return self._banks[Lpad]
 
     def match_batch(self, batch):

@@ -1,0 +1,274 @@
+'''
+Pallas TPU kernel for the exhaustive scan: fused match + mode gating +
+statistics reduction in VMEM.
+
+The XLA formulation (kvarq_tpu.engine.tensor_scan) materializes the
+``[B, Q]`` match-count tensor in HBM and streams it through half a dozen
+elementwise consumers -- at genome-scale Q that traffic costs ~8x the
+matmul itself.  This kernel computes a ``[TB, TQ]`` match tile on the MXU
+and immediately gates + reduces it on the VPU without leaving VMEM:
+
+- per-column partials ``w_q``/``wov_q`` (hit counts / overlap-base sums
+  per bank shift column) accumulate across the read-block grid axis;
+- per-read hit totals are emitted as ``[nQ, B]`` partials (each grid step
+  owns one block -- no non-consecutive output revisits) and reduced by XLA.
+
+Coverage accumulation (the second MXU contraction) is NOT in the kernel:
+hits are sparse in real FastQs, so the caller compacts the hitting reads
+(using the per-read totals) and runs the small ``[k, Q]`` recompute +
+scatter via the XLA path (tensor_scan.scan_step_fn's gather branch).
+
+Replicates the reference hot loop semantics (workhorse.c:1107-1174) via
+the shared mode-weight formulas in kvarq_tpu.engine.tensor_scan; output is
+bit-identical to the XLA and numpy matchers (integer counts in f32).
+'''
+
+import functools
+
+import numpy as np
+
+from kvarq_tpu.engine import encode
+
+# q-metadata row indices in the packed [8, Qp] int32 array
+ROW_D, ROW_SEQL, ROW_VALID = 0, 1, 2
+
+# tuned on v5e (see tools/tune log in git history): throughput is mostly
+# set by the per-call batch size; tiles matter little beyond alignment
+DEF_TB = 512
+DEF_TQ = 2048
+
+
+def _ceil_to(x, m):
+    return -(-x // m) * m
+
+
+def pack_qmeta(bank, TQ=DEF_TQ):
+    ''' pack per-shift-column metadata into one sublane-aligned [8, Qp]
+        int32 array (rows: d_of, seql_of, valid) '''
+    Q = bank.Q
+    Qp = max(_ceil_to(Q, TQ), TQ)
+    qmeta = np.zeros((8, Qp), dtype=np.int32)
+    qmeta[ROW_SEQL, :] = 1
+    qmeta[ROW_D, :Q] = bank.d_of
+    qmeta[ROW_SEQL, :Q] = bank.seql_of
+    qmeta[ROW_VALID, :Q] = (bank.tid >= 0)
+    return qmeta
+
+
+def build_K(bank_oh, Lpad, Qp):
+    ''' im2col'd bank: K[(j,c), q] = bank_oh[c, q-(Lpad-1)+j], zero past
+        the real Q -- padded columns carry valid=0 and never pass '''
+    import jax.numpy as jnp
+    G = bank_oh.shape[1]
+    Q = G + Lpad - 1
+    bankpad = jnp.pad(bank_oh, ((0, 0), (Lpad - 1, Lpad - 1 + Qp - Q)))
+    K = jnp.stack([bankpad[:, j:j + Qp] for j in range(Lpad)])  # [L, 5, Qp]
+    return K.reshape(Lpad * encode.NBASE, Qp)
+
+
+def _match_kernel(maxerrors, minoverlap,
+                  read_ref, rl_ref, k_ref, qmeta_ref,
+                  stats_ref, hit_ref):
+    ''' one (q-block, b-block) grid step; see module docstring '''
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(1)
+
+    matches = jnp.dot(read_ref[:], k_ref[:],
+                      preferred_element_type=jnp.float32)    # [TB, TQ]
+
+    rl = rl_ref[:, 0:1]                                      # [TB, 1] i32
+    d = qmeta_ref[ROW_D:ROW_D + 1, :]                        # [1, TQ] i32
+    seql = qmeta_ref[ROW_SEQL:ROW_SEQL + 1, :]
+    valid = qmeta_ref[ROW_VALID:ROW_VALID + 1, :]
+
+    ov_i = jnp.minimum(seql, d + rl) - jnp.maximum(0, d)     # [TB, TQ] i32
+    ov = ov_i.astype(jnp.float32)
+    mism = ov - matches
+    mo = minoverlap
+
+    i = -d
+    ab = (rl > mo) & (seql > mo)
+    wA = ab & (i >= 1) & (i >= rl - seql + 1) & (i <= rl - mo)
+    wB = ab & (d >= 1) & (d >= seql - rl) & (d <= seql - mo)
+    wC = (rl > seql) & (d <= 0) & (i <= rl - seql)
+    wD = (rl <= seql) & (d >= 0) & (d <= seql - rl)
+
+    passing = (valid > 0) & (rl > 0) & (mism <= maxerrors)
+    nmodes = (wA.astype(jnp.float32) + wB.astype(jnp.float32)
+              + wC.astype(jnp.float32) + wD.astype(jnp.float32))
+    w = jnp.where(passing, nmodes, 0.)                       # [TB, TQ] f32
+
+    part = jnp.concatenate(
+        [jnp.sum(w, axis=0, keepdims=True),
+         jnp.sum(w * ov, axis=0, keepdims=True),
+         jnp.zeros((6, w.shape[1]), jnp.float32)], axis=0)   # [8, TQ]
+
+    @pl.when(b == 0)
+    def _():
+        stats_ref[:] = part
+
+    @pl.when(b > 0)
+    def _():
+        stats_ref[:] = stats_ref[:] + part
+
+    # per-read totals for this q block: rows 1..7 stay zero
+    wb = jnp.sum(w, axis=1, keepdims=True)                   # [TB, 1]
+    hit_ref[:] = jnp.pad(wb.T, ((0, 7), (0, 0)))             # [8, TB]
+
+
+@functools.lru_cache(maxsize=None)
+def match_stats_call(Lpad, Qp, B, maxerrors, minoverlap,
+                     TB=DEF_TB, TQ=DEF_TQ, interpret=False):
+    '''
+    :returns: jit-able ``f(read_flat [B, Lpad*5] bf16, rl2d [B, 128] i32,
+        K [Lpad*5, Qp] bf16, qmeta [8, Qp] i32) -> (stats [8, Qp] f32,
+        hitpart [8*nQ, B] f32)`` where stats row 0 = w_q, row 1 = wov_q,
+        and ``hitpart.sum(axis=0)[b]`` = total hit weight of read b
+    '''
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert B % TB == 0 and Qp % TQ == 0
+    nB, nQ = B // TB, Qp // TQ
+    L5 = Lpad * encode.NBASE
+
+    kernel = functools.partial(_match_kernel, maxerrors, minoverlap)
+
+    grid_spec = pl.GridSpec(
+        grid=(nQ, nB),    # b innermost: stats blocks revisit consecutively
+        in_specs=[
+            pl.BlockSpec((TB, L5), lambda q, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 128), lambda q, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L5, TQ), lambda q, b: (0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TQ), lambda q, b: (0, q),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, TQ), lambda q, b: (0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TB), lambda q, b: (q, b),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    def call(read_flat, rl2d, K, qmeta):
+        import jax.numpy as jnp
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((8, Qp), jnp.float32),
+                jax.ShapeDtypeStruct((8 * nQ, B), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * L5 * Qp,
+                bytes_accessed=(B * L5 * 2) * nQ + L5 * Qp * 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(read_flat, rl2d, K, qmeta)
+
+    return call
+
+
+def device_arrays(bank, TQ=DEF_TQ):
+    ''' device-resident bank data for :py:func:`scan_step`: the im2col'd
+        K matrix, packed q metadata, and the Q->template segment map '''
+    import jax
+    import jax.numpy as jnp
+    qmeta = pack_qmeta(bank, TQ)
+    Qp = qmeta.shape[1]
+    bank_oh = jax.nn.one_hot(jnp.asarray(bank.codes), encode.NBASE,
+                             dtype=jnp.bfloat16)
+    K = jax.jit(build_K, static_argnums=(1, 2))(
+        bank_oh.T, bank.Lpad, Qp)
+    return dict(K=K, qmeta=jnp.asarray(qmeta))
+
+
+def scan_step(Lpad, bank, T, maxerrors, minoverlap, B,
+              gather_k=1024, interpret=False, TB=DEF_TB, TQ=DEF_TQ):
+    '''
+    full Pallas-backed scan step with the same contract as
+    tensor_scan.scan_step_fn: ``step(codes [B, Lpad] u8, rl [B] i32,
+    K, qmeta) -> (basecount [5, G] f32, seqhits [T+1] i32,
+    seqbasehits [T+1] i32)``.
+
+    Statistics come from the fused kernel; coverage comes from a second
+    pass restricted to the (compacted, sparse) hitting reads, with a
+    ``lax.cond`` fallback to the all-reads contraction when more than
+    ``gather_k`` reads hit.
+    '''
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from kvarq_tpu.engine.tensor_scan import mode_weights
+
+    G = bank.G
+    Q = bank.Q
+    qmeta_np = pack_qmeta(bank, TQ)
+    Qp = qmeta_np.shape[1]
+    L5 = Lpad * encode.NBASE
+    Bp = max(_ceil_to(B, TB), TB)
+    tseg_np = np.full(Qp, T, dtype=np.int32)
+    tseg_np[:Q] = np.where(bank.tid >= 0, bank.tid, T)
+
+    kcall = match_stats_call(Lpad, Qp, Bp, maxerrors, minoverlap,
+                             TB, TQ, interpret)
+    gather_k = min(gather_k, Bp)
+
+    def fold(RTw):
+        RTw = RTw.reshape(Lpad, encode.NBASE, Qp)
+        return sum(RTw[j, :, Lpad - 1 - j:Lpad - 1 - j + G]
+                   for j in range(Lpad))                     # [5, G]
+
+    def step(codes, rl, K, qmeta):
+        tseg = jnp.asarray(tseg_np)
+        read_oh = jax.nn.one_hot(codes, encode.NBASE, dtype=jnp.bfloat16)
+        read_flat = read_oh.reshape(-1, L5)
+        rl = rl.astype(jnp.int32)
+        if Bp != B:
+            read_flat = jnp.pad(read_flat, ((0, Bp - B), (0, 0)))
+            rl = jnp.pad(rl, (0, Bp - B))
+        rl2d = jnp.broadcast_to(rl[:, None], (Bp, 128))
+
+        stats, hitpart = kcall(read_flat, rl2d, K, qmeta)
+        w_q, wov_q = stats[0], stats[1]
+        seqhits = jax.ops.segment_sum(
+            w_q, tseg, num_segments=T + 1).astype(jnp.int32)
+        seqbasehits = jax.ops.segment_sum(
+            wov_q, tseg, num_segments=T + 1).astype(jnp.int32)
+
+        # coverage over compacted hitting reads (sparse in real data)
+        meta = (qmeta[ROW_D:ROW_D + 1], qmeta[ROW_SEQL:ROW_SEQL + 1],
+                qmeta[ROW_VALID:ROW_VALID + 1])
+        hit_b = jnp.sum(hitpart, axis=0)                     # [Bp]
+        count = jnp.sum((hit_b > 0).astype(jnp.int32))
+        (idx,) = jnp.nonzero(hit_b > 0, size=gather_k, fill_value=0)
+        fill = (jnp.arange(gather_k) < count)
+        rg = read_flat[idx] * fill[:, None].astype(jnp.bfloat16)
+        rlg = (rl[idx] * fill)[:, None]
+
+        def rtw_gathered(_):
+            m = jnp.dot(rg, K, preferred_element_type=jnp.float32)
+            w, _ = mode_weights(m, rlg, *meta, maxerrors, minoverlap)
+            return jnp.dot(rg.T, w.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+
+        def rtw_full(_):
+            m = jnp.dot(read_flat, K, preferred_element_type=jnp.float32)
+            w, _ = mode_weights(m, rl[:, None], *meta,
+                                maxerrors, minoverlap)
+            return jnp.dot(read_flat.T, w.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+
+        RTw = lax.cond(count <= gather_k, rtw_gathered, rtw_full, None)
+        return fold(RTw), seqhits, seqbasehits
+
+    return step

@@ -28,8 +28,8 @@ from kvarq_tpu.engine import encode
 from kvarq_tpu.engine.match_xla import _Bank
 
 
-def build_bank(seqs, Lpad):
-    return _Bank(seqs, Lpad)
+def build_bank(seqs, Lpad, minoverlap=None):
+    return _Bank(seqs, Lpad, minoverlap)
 
 
 def bank_device_arrays(bank, dtype=None):
@@ -47,6 +47,41 @@ def bank_device_arrays(bank, dtype=None):
         tid=jnp.asarray(bank.tid),
         valid_q=jnp.asarray(bank.tid >= 0),
     )
+
+
+def mode_weights(matches, rl_col, d_row, seql_row, valid_row,
+                 maxerrors, minoverlap):
+    '''
+    mode gating shared by the XLA and Pallas scan paths: given f32 match
+    counts [B, Q], an i32 read-length column [B, 1] and i32 per-column
+    metadata rows [1, Q], return ``(w, ov)`` -- the f32 hit-mode weight
+    (0/1/2, incl. the mode-B/D border duplicate) and overlap length per
+    (read, shift).  See kvarq_tpu.engine.hitmodel for the semantics
+    (reference workhorse.c:1107-1174).
+    '''
+    import jax.numpy as jnp
+
+    d = d_row
+    seql = seql_row
+    rl_ = rl_col
+    mo = minoverlap
+
+    ov = (jnp.minimum(seql, d + rl_)
+          - jnp.maximum(0, d)).astype(jnp.float32)
+    mism = ov - matches
+
+    i = -d
+    ab = (rl_ > mo) & (seql > mo)
+    wA = ab & (i >= 1) & (i >= rl_ - seql + 1) & (i <= rl_ - mo)
+    wB = ab & (d >= 1) & (d >= seql - rl_) & (d <= seql - mo)
+    wC = (rl_ > seql) & (d <= 0) & (i <= rl_ - seql)
+    wD = (rl_ <= seql) & (d >= 0) & (d <= seql - rl_)
+
+    passing = (valid_row > 0) & (rl_ > 0) & (mism <= maxerrors)
+    nmodes = (wA.astype(jnp.float32) + wB.astype(jnp.float32)
+              + wC.astype(jnp.float32) + wD.astype(jnp.float32))
+    w = jnp.where(passing, nmodes, 0.)
+    return w, ov
 
 
 def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
@@ -94,26 +129,10 @@ def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
 
         # 2) mode gating -- elementwise, fused by XLA into the matmul
         # consumers (see kvarq_tpu.engine.hitmodel for the semantics)
-        d = d_of[None, :]
-        seql = seql_of[None, :]
-        rl_ = rl[:, None].astype(jnp.int32)
-        mo = minoverlap
-
-        ov = (jnp.minimum(seql, d + rl_)
-              - jnp.maximum(0, d)).astype(jnp.float32)
-        mism = ov - matches
-
-        ab = (rl_ > mo) & (seql > mo)
-        i = -d
-        wA = ab & (i >= 1) & (i >= rl_ - seql + 1) & (i <= rl_ - mo)
-        wB = ab & (d >= 1) & (d >= seql - rl_) & (d <= seql - mo)
-        wC = (rl_ > seql) & (d <= 0) & (-d <= rl_ - seql)
-        wD = (rl_ <= seql) & (d >= 0) & (d <= seql - rl_)
-
-        passing = valid_q[None, :] & (rl_ > 0) & (mism <= maxerrors)
-        nmodes = (wA.astype(jnp.float32) + wB.astype(jnp.float32)
-                  + wC.astype(jnp.float32) + wD.astype(jnp.float32))
-        w = jnp.where(passing, nmodes, 0.)                    # [B, Q] f32
+        w, ov = mode_weights(
+            matches, rl[:, None].astype(jnp.int32), d_of[None, :],
+            seql_of[None, :], valid_q[None, :].astype(jnp.int32),
+            maxerrors, minoverlap)                            # [B, Q] f32
 
         # 3) per-template stats
         tseg = jnp.where(tid >= 0, tid, T)
@@ -177,13 +196,19 @@ class TensorScanner:
     ELEM_BUDGET = 96 * 1024 * 1024
     FLUSH_STEPS = 64
 
-    def __init__(self, seqs, maxerrors, minoverlap):
+    def __init__(self, seqs, maxerrors, minoverlap, backend=None):
+        import os
         import jax
         self.seqs = list(seqs)
         self.maxerrors = maxerrors
         self.minoverlap = minoverlap
         self.T = len(self.seqs)
         self.platform = jax.default_backend()
+        backend = backend or os.environ.get('KVARQ_TENSOR_BACKEND', 'auto')
+        if backend == 'auto':
+            # the fused Pallas kernel needs a real TPU; XLA elsewhere
+            backend = 'xla' if self.platform == 'cpu' else 'pallas'
+        self.backend = backend
         self._ctx = {}
         self.reset()
 
@@ -198,21 +223,27 @@ class TensorScanner:
     def _context(self, Lpad):
         if Lpad not in self._ctx:
             import jax
-            import functools
-            bank = build_bank(self.seqs, Lpad)
-            arrays = bank_device_arrays(bank)
-            dtype = 'float32' if self.platform == 'cpu' else 'bfloat16'
-            Q = bank.G + Lpad - 1
-            sub = max(64, min(8192, self.ELEM_BUDGET // max(Q, 1)))
-            gather_k = max(128, sub // 8)
-            step = scan_step_fn(
-                Lpad, bank.G, self.T, self.maxerrors, self.minoverlap,
-                dtype_name=dtype, gather_k=gather_k)
+            bank = build_bank(self.seqs, Lpad, self.minoverlap)
+            Q = bank.Q
+            if self.backend == 'pallas':
+                from kvarq_tpu.engine import pallas_scan
+                sub = 16384
+                arrays = pallas_scan.device_arrays(bank)
+                step = pallas_scan.scan_step(
+                    Lpad, bank, self.T, self.maxerrors, self.minoverlap,
+                    sub, gather_k=512,
+                    interpret=(self.platform == 'cpu'))
+            else:
+                arrays = bank_device_arrays(bank)
+                dtype = 'float32' if self.platform == 'cpu' else 'bfloat16'
+                sub = max(64, min(8192, self.ELEM_BUDGET // max(Q, 1)))
+                gather_k = max(128, sub // 8)
+                step = scan_step_fn(
+                    Lpad, bank.G, self.T, self.maxerrors, self.minoverlap,
+                    dtype_name=dtype, gather_k=gather_k)
 
-            def step_acc(codes, rl, acc_bc, acc_sh, acc_sbh,
-                         bank_oh, d_of, seql_of, tid, valid_q):
-                bc, sh, sbh = step(codes, rl, bank_oh, d_of, seql_of,
-                                   tid, valid_q)
+            def step_acc(codes, rl, acc_bc, acc_sh, acc_sbh, **arrays):
+                bc, sh, sbh = step(codes, rl, **arrays)
                 return acc_bc + bc, acc_sh + sh, acc_sbh + sbh
 
             self._ctx[Lpad] = dict(
@@ -285,13 +316,10 @@ class TensorScanner:
         per_template = [np.zeros((encode.NBASE, len(s)), dtype=np.float64)
                         for s in self.seqs]
         for Lpad, acc in self.basecounts.items():
-            gap = Lpad  # bank layout: [gap][T0][gap][T1]...[gap]
-            pos = 0
+            tstart = self._ctx[Lpad]['bank'].tstart
             for t, s in enumerate(self.seqs):
-                pos += gap
-                S = len(s)
-                per_template[t] += acc[:, pos:pos + S]
-                pos += S
+                pos = tstart[t]
+                per_template[t] += acc[:, pos:pos + len(s)]
         return per_template
 
 

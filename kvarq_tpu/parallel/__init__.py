@@ -56,11 +56,12 @@ class ShardBank:
         *global* template numbering so per-shard stat vectors psum-merge
         into the global ones. '''
 
-    def __init__(self, seqs, Lpad, n_bank):
+    def __init__(self, seqs, Lpad, n_bank, minoverlap=None):
         self.Lpad = Lpad
         self.n_bank = n_bank
         self.ranges = split_templates(len(seqs), n_bank)
-        banks = [_Bank(seqs[lo:hi], Lpad) for lo, hi in self.ranges]
+        banks = [_Bank(seqs[lo:hi], Lpad, minoverlap)
+                 for lo, hi in self.ranges]
         self.G = max(b.G for b in banks) if banks else 0
         self.sub = banks
 
@@ -163,7 +164,8 @@ class ShardedScanner:
 
     def _context(self, Lpad):
         if Lpad not in self._ctx:
-            bank = ShardBank(self.seqs, Lpad, self.n_bank)
+            bank = ShardBank(self.seqs, Lpad, self.n_bank,
+                             self.minoverlap)
             dtype = 'float32' if self.platform == 'cpu' else 'bfloat16'
             arrays = bank.device_arrays(dtype)
             step = sharded_scan_step(
@@ -205,14 +207,12 @@ class ShardedScanner:
                         for s in self.seqs]
         for Lpad, acc in self.basecounts.items():
             bank = self._ctx[Lpad][0]
-            gap = Lpad
-            for shard, (lo, hi) in enumerate(bank.ranges):
-                pos = 0
+            for shard, ((lo, hi), sub) in enumerate(
+                    zip(bank.ranges, bank.sub)):
                 for t in range(lo, hi):
-                    pos += gap
+                    pos = sub.tstart[t - lo]
                     S = len(self.seqs[t])
                     per_template[t] += acc[shard, :, pos:pos + S]
-                    pos += S
         return per_template
 
 
