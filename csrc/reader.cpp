@@ -1,0 +1,343 @@
+// Native FastQ input pipeline: streaming multi-file plain/gzip reader with
+// record parsing, quality trimming, base encoding and live statistics.
+//
+// TPU-native equivalent of the reference scan engine's host half
+// (csrc/workhorse.c:482-956 gz/file streaming, :1010-1103 record
+// parse/trim in /root/reference): instead of feeding a pthread scan loop,
+// it fills fixed-shape batch buffers (raw bytes, base codes, trimmed
+// lengths, global file offsets) that the Python layer ships to the
+// device matchers.  Semantics -- error messages, first-longest quality
+// run, trailing-partial-record handling, multi-stream gzip, decompressed
+// size estimation -- replicate kvarq_tpu/engine/reader.py exactly (which
+// in turn replicates workhorse.c); tests assert byte-equality of the two
+// pipelines.
+//
+// Exposed via a plain C ABI for ctypes (no Python C-API dependency).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr int MAX_READLENGTH = 1024;   // histogram cap (workhorse.c:105)
+constexpr size_t CHUNKSIZE = 8u * 1024 * 1024;
+constexpr uint8_t CODE_READ_JUNK = 5;  // kvarq_tpu/engine/encode.py
+
+struct Stream {
+    std::string fname;
+    FILE* f = nullptr;
+    bool is_gz = false;
+    z_stream zs;
+    bool z_init = false;
+    bool z_done = false;        // current inflate stream finished
+    std::vector<uint8_t> zin;   // compressed input buffer
+    size_t zin_pos = 0, zin_len = 0;
+    int64_t fsize = 0;          // on-disk size
+    int64_t compressed_read = 0;
+    int64_t produced = 0;       // decompressed bytes yielded
+};
+
+struct Reader {
+    std::vector<Stream> streams;
+    size_t cur = 0;
+    int amin = 0;
+    int minreadlength = 0;
+
+    std::vector<uint8_t> buf;   // leftover + fresh chunk
+    size_t buf_pos = 0;         // parse cursor within buf
+    int64_t buf_offset = 0;     // global decompressed offset of buf[0]
+    bool at_eof = false;
+
+    // live stats (polled cross-thread; plain stores are fine)
+    volatile int64_t records_parsed = 0;
+    volatile int64_t parsed = 0;
+    volatile int64_t total = 0;
+    int64_t rls[MAX_READLENGTH] = {};
+    volatile int64_t rls_longest = -1;
+    std::vector<int64_t> est;   // per-file size estimate
+
+    std::string error;
+    uint8_t code_of[256];
+};
+
+void update_total(Reader* r) {
+    int64_t t = 0;
+    for (int64_t e : r->est) t += e;
+    r->total = t;
+}
+
+bool open_stream(Reader* r, Stream& s) {
+    s.f = std::fopen(s.fname.c_str(), "rb");
+    if (!s.f) {
+        r->error = "cannot open '" + s.fname + "'";
+        return false;
+    }
+    std::fseek(s.f, 0, SEEK_END);
+    s.fsize = std::ftell(s.f);
+    std::fseek(s.f, 0, SEEK_SET);
+    size_t n = s.fname.size();
+    s.is_gz = n > 3 && s.fname.compare(n - 3, 3, ".gz") == 0;
+    if (s.is_gz) {
+        std::memset(&s.zs, 0, sizeof(s.zs));
+        // 16+MAX_WBITS: gzip wrapper (header parse incl. extra fields)
+        if (inflateInit2(&s.zs, 16 + MAX_WBITS) != Z_OK) {
+            r->error = "inflateInit failed for '" + s.fname + "'";
+            return false;
+        }
+        s.z_init = true;
+        s.zin.resize(1u << 20);
+    }
+    return true;
+}
+
+void close_stream(Stream& s) {
+    if (s.z_init) { inflateEnd(&s.zs); s.z_init = false; }
+    if (s.f) { std::fclose(s.f); s.f = nullptr; }
+}
+
+// read up to `want` decompressed bytes from stream; 0 = stream EOF, -1 = error
+long stream_read(Reader* r, Stream& s, uint8_t* out, size_t want) {
+    if (!s.is_gz) {
+        size_t n = std::fread(out, 1, want, s.f);
+        s.produced += (long)n;
+        s.compressed_read += (long)n;
+        return (long)n;
+    }
+    size_t got = 0;
+    while (got < want) {
+        if (s.zin_pos == s.zin_len) {
+            s.zin_len = std::fread(s.zin.data(), 1, s.zin.size(), s.f);
+            s.zin_pos = 0;
+            s.compressed_read += (long)s.zin_len;
+            if (s.zin_len == 0) break;  // compressed EOF
+        }
+        s.zs.next_in = s.zin.data() + s.zin_pos;
+        s.zs.avail_in = (uInt)(s.zin_len - s.zin_pos);
+        s.zs.next_out = out + got;
+        s.zs.avail_out = (uInt)(want - got);
+        int ret = inflate(&s.zs, Z_NO_FLUSH);
+        s.zin_pos = s.zin_len - s.zs.avail_in;
+        got = (want - s.zs.avail_out);
+        if (ret == Z_STREAM_END) {
+            // multi-stream gz: restart inflate mid-file
+            // (workhorse.c:841-866)
+            if (inflateReset(&s.zs) != Z_OK) {
+                r->error = "inflateReset failed in '" + s.fname + "'";
+                return -1;
+            }
+            // trailing garbage after the last stream ends the file
+            if (s.zin_pos == s.zin_len && std::feof(s.f)) break;
+            continue;
+        }
+        if (ret != Z_OK && ret != Z_BUF_ERROR) {
+            r->error = "error inflating '" + s.fname + "': " +
+                       (s.zs.msg ? s.zs.msg : zError(ret));
+            return -1;
+        }
+        if (ret == Z_BUF_ERROR && s.zin_pos == s.zin_len &&
+            std::feof(s.f))
+            break;
+    }
+    s.produced += (long)got;
+    return (long)got;
+}
+
+// pull the next chunk into r->buf (after the unparsed leftover);
+// returns bytes added, 0 at global EOF, -1 error
+long fill_buf(Reader* r) {
+    // drop parsed prefix, keep leftover
+    if (r->buf_pos) {
+        r->buf.erase(r->buf.begin(), r->buf.begin() + r->buf_pos);
+        r->buf_offset += (int64_t)r->buf_pos;
+        r->buf_pos = 0;
+    }
+    while (r->cur < r->streams.size()) {
+        Stream& s = r->streams[r->cur];
+        if (!s.f && !open_stream(r, s)) return -1;
+        size_t old = r->buf.size();
+        r->buf.resize(old + CHUNKSIZE);
+        long n = stream_read(r, s, r->buf.data() + old, CHUNKSIZE);
+        if (n < 0) return -1;
+        r->buf.resize(old + (size_t)n);
+        if (n == 0) {
+            // exact size once the file is fully read
+            r->est[r->cur] = s.produced;
+            update_total(r);
+            close_stream(s);
+            r->cur++;
+            continue;
+        }
+        if (s.is_gz && s.fsize > 0) {
+            // refine decompressed-size estimate from the compression
+            // ratio so far (workhorse.c:882-884)
+            double frac = (double)s.compressed_read / (double)s.fsize;
+            if (frac > 1.0) frac = 1.0;
+            if (frac > 1e-9) {
+                int64_t e = (int64_t)((double)s.produced / frac);
+                r->est[r->cur] = e > s.produced ? e : s.produced;
+            }
+            update_total(r);
+        }
+        r->parsed = r->buf_offset + (int64_t)r->buf.size();
+        return n;
+    }
+    r->at_eof = true;
+    r->parsed = r->buf_offset + (int64_t)r->buf.size();
+    r->total = r->parsed;
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+Reader* kvq_open(const char** fnames, int nfiles, int amin,
+                 int minreadlength) {
+    Reader* r = new Reader();
+    r->amin = amin;
+    r->minreadlength = minreadlength;
+    for (int i = 0; i < nfiles; i++) {
+        Stream s;
+        s.fname = fnames[i];
+        r->streams.push_back(std::move(s));
+    }
+    // initial size estimates: plain size, or 3x compressed
+    // (workhorse.c:624-626)
+    for (auto& s : r->streams) {
+        FILE* f = std::fopen(s.fname.c_str(), "rb");
+        int64_t sz = 0;
+        if (f) { std::fseek(f, 0, SEEK_END); sz = std::ftell(f);
+                 std::fclose(f); }
+        size_t n = s.fname.size();
+        bool gz = n > 3 && s.fname.compare(n - 3, 3, ".gz") == 0;
+        r->est.push_back(gz ? sz * 3 : sz);
+    }
+    update_total(r);
+    std::memset(r->code_of, CODE_READ_JUNK, sizeof(r->code_of));
+    r->code_of['A'] = 0; r->code_of['C'] = 1; r->code_of['G'] = 2;
+    r->code_of['T'] = 3; r->code_of['N'] = 4;
+    return r;
+}
+
+const char* kvq_error(Reader* r) { return r->error.c_str(); }
+
+void kvq_stats(Reader* r, int64_t* records_parsed, int64_t* parsed,
+               int64_t* total, int64_t* rls_longest, int64_t* rls) {
+    *records_parsed = r->records_parsed;
+    *parsed = r->parsed;
+    *total = r->total;
+    *rls_longest = r->rls_longest;
+    if (rls) std::memcpy(rls, r->rls, sizeof(r->rls));
+}
+
+// Fill up to `cap` records into the caller's buffers (stride = lmax bytes
+// per row for raw/codes).  Reads longer than lmax are an error (lmax
+// should be MAX_READLENGTH).  Returns #records (0 = EOF), -1 = error.
+long kvq_next(Reader* r, long cap, long lmax, uint8_t* raw, uint8_t* codes,
+              int32_t* rl_out, int64_t* filepos, int32_t* batch_maxrl) {
+    long out = 0;
+    int maxrl = 0;
+    const int amin = r->amin;
+    const int minrl = r->minreadlength;
+
+    while (out < cap) {
+        const uint8_t* b = r->buf.data();
+        const size_t len = r->buf.size();
+        size_t p = r->buf_pos;
+
+        // locate the 4 line ends of the next record
+        size_t nls[4];
+        int got = 0;
+        size_t q = p;
+        for (; got < 4; got++) {
+            const void* nl = std::memchr(b + q, '\n', len - q);
+            if (!nl) break;
+            nls[got] = (const uint8_t*)nl - b;
+            q = nls[got] + 1;
+        }
+        if (got < 4) {
+            if (!r->at_eof) {
+                long n = fill_buf(r);
+                if (n < 0) return -1;
+                if (n > 0) continue;
+            }
+            // trailing data without a full record is silently dropped
+            // (workhorse.c:1032-1034)
+            break;
+        }
+
+        if (b[p] != '@') {
+            char msg[96];
+            std::snprintf(msg, sizeof(msg),
+                          "record must start with '@' (and not '%c') "
+                          "fpos=%lld", b[p],
+                          (long long)(r->buf_offset + (int64_t)p));
+            r->error = msg;
+            return -1;
+        }
+        size_t plus = nls[1] + 1;
+        if (b[plus] != '+') {
+            char msg[96];
+            std::snprintf(msg, sizeof(msg),
+                          "3rd line of record must start with '+' fpos=%lld",
+                          (long long)(r->buf_offset + (int64_t)plus));
+            r->error = msg;
+            return -1;
+        }
+
+        // quality trim: first-longest run of bytes >= amin in the quality
+        // line (workhorse.c:1055-1070); CR before LF breaks the run since
+        // '\r' < any sane amin -- matched by byte comparison either way
+        size_t qs = nls[2] + 1, qe = nls[3];
+        int best = 0, best_off = 0, run = 0;
+        for (size_t i = qs; i < qe; i++) {
+            if (b[i] >= amin) {
+                run++;
+                if (run > best) { best = run; best_off = (int)(i + 1 - run - qs); }
+            } else {
+                run = 0;
+            }
+        }
+        int rl = best;
+
+        // histogram counts every record, incl. discarded ones
+        int hrl = rl < MAX_READLENGTH ? rl : MAX_READLENGTH - 1;
+        r->rls[hrl]++;
+        if (rl > r->rls_longest) r->rls_longest = rl;
+        r->records_parsed = r->records_parsed + 1;
+
+        if (rl >= minrl && rl > 0) {
+            if (rl > lmax) {
+                r->error = "read longer than buffer stride";
+                return -1;
+            }
+            size_t bs = nls[0] + 1 + (size_t)best_off;  // trimmed read start
+            // rows are filled only up to rl; the Python side pads the
+            // (much narrower) length-bucketed slice vectorized
+            uint8_t* rrow = raw + out * lmax;
+            uint8_t* crow = codes + out * lmax;
+            std::memcpy(rrow, b + bs, (size_t)rl);
+            for (int i = 0; i < rl; i++) crow[i] = r->code_of[rrow[i]];
+            rl_out[out] = rl;
+            filepos[out] = r->buf_offset + (int64_t)bs;
+            if (rl > maxrl) maxrl = rl;
+            out++;
+        }
+        r->buf_pos = nls[3] + 1;
+    }
+    *batch_maxrl = maxrl;
+    return out;
+}
+
+void kvq_close(Reader* r) {
+    for (auto& s : r->streams) close_stream(s);
+    delete r;
+}
+
+}  // extern "C"

@@ -167,9 +167,13 @@ def _auto_backend():
     return 'xla'
 
 
-def _make_sieve(seqs):
+def _make_sieve(seqs, default_on=True):
     mode = _extra_config['sieve']
     if mode in (False, 'off', '0', 'no'):
+        return None
+    if mode == 'auto' and not default_on:
+        # the fused TPU kernel outruns the host-side sieve -- prefiltering
+        # would only serialize the pipeline
         return None
     from kvarq_tpu.engine.sieve import KmerSieve
     sieve = KmerSieve.build(seqs, _config['maxerrors'],
@@ -293,7 +297,9 @@ def countseqs(fname, seqs):
 
         scanner = TensorScanner(seqs, _config['maxerrors'],
                                 _config['minoverlap']) if seqs else None
-        sieve = _make_sieve(seqs) if seqs else None
+        sieve = _make_sieve(
+            seqs, default_on=scanner.backend != 'pallas') \
+            if seqs else None
         Amin = ord(_config['Amin'])
 
         try:

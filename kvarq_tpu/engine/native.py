@@ -1,0 +1,143 @@
+'''
+ctypes binding for the native C++ FastQ pipeline (csrc/reader.cpp) -- the
+TPU-native equivalent of the reference engine's host half (file streaming,
+gz inflate, record parse, quality trim; /root/reference/csrc/workhorse.c:482-1103
+and csrc/gz/miniz.c).  Drop-in replacement for the numpy pipeline in
+kvarq_tpu.engine.reader: same batch contents, same error messages, same
+statistics; ~100x faster per record.
+
+The shared library is built on demand with g++ (no pybind11/Python C-API;
+plain C ABI via ctypes).  Set ``KVARQ_NATIVE=0`` to force the numpy
+pipeline.
+'''
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from kvarq_tpu.log import lo
+from kvarq_tpu.engine import encode, reader
+
+HERE = os.path.abspath(os.path.dirname(__file__))
+CSRC = os.path.join(os.path.dirname(os.path.dirname(HERE)), 'csrc')
+SRC = os.path.join(CSRC, 'reader.cpp')
+LIB = os.path.join(CSRC, '_reader.so')
+
+MAX_READLENGTH = reader.MAX_READLENGTH
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _build():
+    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC',
+           '-o', LIB, SRC, '-lz']
+    lo.info('building native reader: %s' % ' '.join(cmd))
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    ''' :returns: the loaded library, or None when unavailable '''
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if os.environ.get('KVARQ_NATIVE', '1') == '0':
+            _lib_failed = True
+            return None
+        try:
+            if (not os.path.exists(LIB)
+                    or os.path.getmtime(LIB) < os.path.getmtime(SRC)):
+                _build()
+            lib = ctypes.CDLL(LIB)
+        except Exception as e:
+            lo.warning('native reader unavailable (%s); '
+                       'falling back to numpy pipeline' % e)
+            _lib_failed = True
+            return None
+
+        lib.kvq_open.restype = ctypes.c_void_p
+        lib.kvq_open.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                                 ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.kvq_error.restype = ctypes.c_char_p
+        lib.kvq_error.argtypes = [ctypes.c_void_p]
+        lib.kvq_stats.argtypes = [ctypes.c_void_p] + \
+            [ctypes.POINTER(ctypes.c_int64)] * 4 + \
+            [np.ctypeslib.ndpointer(np.int64, flags='C')]
+        lib.kvq_next.restype = ctypes.c_long
+        lib.kvq_next.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            np.ctypeslib.ndpointer(np.uint8, flags='C'),
+            np.ctypeslib.ndpointer(np.uint8, flags='C'),
+            np.ctypeslib.ndpointer(np.int32, flags='C'),
+            np.ctypeslib.ndpointer(np.int64, flags='C'),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.kvq_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available():
+    return get_lib() is not None
+
+
+def batches(fnames, Amin, minreadlength, stats, batchsize=16384,
+            stop_check=None):
+    ''' generator over reader.RecordBatch, same contract as
+        reader.batches() but backed by the native pipeline '''
+    lib = get_lib()
+    names = (ctypes.c_char_p * len(fnames))(
+        *[f.encode() for f in fnames])
+    h = lib.kvq_open(names, len(fnames), Amin, minreadlength)
+    rls_buf = np.zeros(MAX_READLENGTH, dtype=np.int64)
+
+    def sync_stats():
+        rp = ctypes.c_int64()
+        pa = ctypes.c_int64()
+        to = ctypes.c_int64()
+        lg = ctypes.c_int64()
+        lib.kvq_stats(h, ctypes.byref(rp), ctypes.byref(pa),
+                      ctypes.byref(to), ctypes.byref(lg), rls_buf)
+        stats.records_parsed = rp.value
+        stats.parsed = pa.value
+        stats.total = to.value
+        stats.rls_longest = lg.value
+        stats.rls[:] = rls_buf
+
+    # buffers are reused across batches (yielded arrays are copies) --
+    # fresh allocations would pay one soft page fault per written row
+    raw = np.empty((batchsize, MAX_READLENGTH), dtype=np.uint8)
+    codes = np.empty((batchsize, MAX_READLENGTH), dtype=np.uint8)
+    rl = np.empty(batchsize, dtype=np.int32)
+    fp = np.empty(batchsize, dtype=np.int64)
+    raw[:] = 0
+    codes[:] = 0
+
+    try:
+        while True:
+            if stop_check is not None and stop_check():
+                break
+            maxrl = ctypes.c_int32()
+            n = lib.kvq_next(h, batchsize, MAX_READLENGTH, raw, codes,
+                             rl, fp, ctypes.byref(maxrl))
+            sync_stats()
+            if n < 0:
+                raise reader.FastqFormatError(
+                    lib.kvq_error(h).decode())
+            if n == 0:
+                break
+            Lpad = reader._round_up(int(maxrl.value))
+            codes_b = np.ascontiguousarray(codes[:n, :Lpad])
+            raw_b = np.ascontiguousarray(raw[:n, :Lpad])
+            # rows are only filled up to rl by the C side; pad vectorized
+            pad = np.arange(Lpad, dtype=np.int32)[None, :] >= rl[:n, None]
+            codes_b[pad] = encode.CODE_READ_JUNK
+            raw_b[pad] = 0
+            yield reader.RecordBatch(codes_b, rl[:n].copy(),
+                                     fp[:n].copy(), raw_b)
+    finally:
+        lib.kvq_close(h)

@@ -217,7 +217,18 @@ def batches(fnames, Amin, minreadlength, stats, batchsize=4096,
     :param Amin: quality cutoff as integer ASCII value
     :param stop_check: optional callable; when it returns True the stream
         ends early (engine.stop() semantics, workhorse.c:999)
+
+    Dispatches to the native C++ pipeline (csrc/reader.cpp) when it is
+    available; the numpy implementation below is the byte-exact fallback
+    and test oracle.  ``KVARQ_NATIVE=0`` forces the fallback.
     '''
+    if os.environ.get('KVARQ_NATIVE', '1') != '0':
+        from kvarq_tpu.engine import native
+        if native.available():
+            yield from native.batches(fnames, Amin, minreadlength, stats,
+                                      batchsize, stop_check)
+            return
+
     pend = []   # list of (rl int, filepos int, raw bytes) per read, in order
 
     def make_batch(items):

@@ -180,6 +180,43 @@ def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
     return step
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_context(seqs, Lpad, maxerrors, minoverlap, backend, platform):
+    '''
+    (bank, device arrays, jitted accumulate-step, device batch size) for a
+    template bank + scan config.  Cached at module level so repeated scans
+    in one process (CLI warmup + scan, GUI multi-file runs, benchmarks)
+    reuse the compiled executable -- on remote-compile TPU attachments a
+    fresh jit closure costs seconds even when the inner kernel is cached.
+    '''
+    import jax
+
+    bank = build_bank(list(seqs), Lpad, minoverlap)
+    T = len(seqs)
+    if backend == 'pallas':
+        from kvarq_tpu.engine import pallas_scan
+        sub = 16384
+        arrays = pallas_scan.device_arrays(bank)
+        step = pallas_scan.scan_step(
+            Lpad, bank, T, maxerrors, minoverlap, sub, gather_k=512,
+            interpret=(platform == 'cpu'))
+    else:
+        arrays = bank_device_arrays(bank)
+        dtype = 'float32' if platform == 'cpu' else 'bfloat16'
+        sub = max(64, min(8192,
+                          TensorScanner.ELEM_BUDGET // max(bank.Q, 1)))
+        gather_k = max(128, sub // 8)
+        step = scan_step_fn(Lpad, bank.G, T, maxerrors, minoverlap,
+                            dtype_name=dtype, gather_k=gather_k)
+
+    def step_acc(codes, rl, acc_bc, acc_sh, acc_sbh, **arrays):
+        bc, sh, sbh = step(codes, rl, **arrays)
+        return acc_bc + bc, acc_sh + sh, acc_sbh + sbh
+
+    return (bank, arrays, jax.jit(step_acc, donate_argnums=(2, 3, 4)),
+            sub)
+
+
 class TensorScanner:
     ''' single-device scan driver: accumulates bank-position base counts
         and per-template stats over many batches.
@@ -222,33 +259,11 @@ class TensorScanner:
 
     def _context(self, Lpad):
         if Lpad not in self._ctx:
-            import jax
-            bank = build_bank(self.seqs, Lpad, self.minoverlap)
-            Q = bank.Q
-            if self.backend == 'pallas':
-                from kvarq_tpu.engine import pallas_scan
-                sub = 16384
-                arrays = pallas_scan.device_arrays(bank)
-                step = pallas_scan.scan_step(
-                    Lpad, bank, self.T, self.maxerrors, self.minoverlap,
-                    sub, gather_k=512,
-                    interpret=(self.platform == 'cpu'))
-            else:
-                arrays = bank_device_arrays(bank)
-                dtype = 'float32' if self.platform == 'cpu' else 'bfloat16'
-                sub = max(64, min(8192, self.ELEM_BUDGET // max(Q, 1)))
-                gather_k = max(128, sub // 8)
-                step = scan_step_fn(
-                    Lpad, bank.G, self.T, self.maxerrors, self.minoverlap,
-                    dtype_name=dtype, gather_k=gather_k)
-
-            def step_acc(codes, rl, acc_bc, acc_sh, acc_sbh, **arrays):
-                bc, sh, sbh = step(codes, rl, **arrays)
-                return acc_bc + bc, acc_sh + sh, acc_sbh + sbh
-
+            bank, arrays, step, sub = _cached_context(
+                tuple(self.seqs), Lpad, self.maxerrors, self.minoverlap,
+                self.backend, self.platform)
             self._ctx[Lpad] = dict(
-                bank=bank, arrays=arrays, sub=sub,
-                step=jax.jit(step_acc, donate_argnums=(2, 3, 4)),
+                bank=bank, arrays=arrays, sub=sub, step=step,
                 acc=None, steps=0)
         return self._ctx[Lpad]
 
@@ -281,7 +296,7 @@ class TensorScanner:
             self._flush(Lpad)
 
     def scan_batch(self, batch):
-        import jax.numpy as jnp
+        import jax
         B, Lpad = batch.codes.shape
         ctx = self._context(Lpad)
         if ctx['bank'].G == 0:
@@ -299,8 +314,10 @@ class TensorScanner:
                 rl = np.concatenate([rl, np.zeros(pad, dtype=np.int32)])
             if ctx['acc'] is None:
                 ctx['acc'] = self._zero_acc(ctx)
+            # device_put dispatches the upload asynchronously, so the next
+            # batch parses on host while this one transfers + computes
             ctx['acc'] = ctx['step'](
-                jnp.asarray(codes), jnp.asarray(rl), *ctx['acc'],
+                jax.device_put(codes), jax.device_put(rl), *ctx['acc'],
                 **ctx['arrays'])
             ctx['steps'] += 1
             if ctx['steps'] >= self.FLUSH_STEPS:

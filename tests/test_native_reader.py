@@ -1,0 +1,104 @@
+'''
+Native C++ FastQ pipeline (csrc/reader.cpp): byte-equality with the numpy
+pipeline on all fixtures (plain + gz + paired), error parity, stats parity.
+'''
+
+import glob
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from kvarq_tpu.engine import reader, native
+
+HERE = os.path.abspath(os.path.dirname(__file__))
+FASTQS = os.path.join(HERE, 'fastqs')
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason='native reader unavailable')
+
+
+def both(fnames, Amin=ord('!'), minreadlength=3, batchsize=64):
+    s1, s2 = reader.ReaderStats(), reader.ReaderStats()
+    b1 = list(native.batches(fnames, Amin, minreadlength, s1, batchsize))
+    gen = reader.batches.__wrapped__ if hasattr(reader.batches, '__wrapped__') \
+        else None
+    os.environ['KVARQ_NATIVE'] = '0'
+    try:
+        b2 = list(reader.batches(fnames, Amin, minreadlength, s2, batchsize))
+    finally:
+        os.environ.pop('KVARQ_NATIVE')
+    return (b1, s1), (b2, s2)
+
+
+def assert_equal_batches(b1, b2):
+    assert len(b1) == len(b2)
+    for x, y in zip(b1, b2):
+        np.testing.assert_array_equal(x.rl, y.rl)
+        np.testing.assert_array_equal(x.filepos, y.filepos)
+        np.testing.assert_array_equal(x.codes, y.codes)
+        np.testing.assert_array_equal(x.raw, y.raw)
+
+
+@pytest.mark.parametrize('fname,Amin', [
+    ('test_engine.fastq', ord('!')),
+    ('test_engine.fastq', ord('*')),
+    ('test_engine.fastq.gz', ord('!')),
+    ('test_analyser.fastq', ord('!')),
+    ('L3_N1014_hits_5k.fastq', 33 + 13),
+    ('N0116_1_hits_1k.fastq', 33 + 13),
+])
+def test_parity(fname, Amin):
+    path = os.path.join(FASTQS, fname)
+    (b1, s1), (b2, s2) = both([path], Amin=Amin)
+    assert_equal_batches(b1, b2)
+    assert s1.records_parsed == s2.records_parsed
+    assert s1.rls_longest == s2.rls_longest
+    np.testing.assert_array_equal(s1.rls, s2.rls)
+
+
+def test_multi_file():
+    f1 = os.path.join(FASTQS, 'test_engine_part1.fastq')
+    f2 = os.path.join(FASTQS, 'test_engine_part2.fastq')
+    if not (os.path.exists(f1) and os.path.exists(f2)):
+        pytest.skip('split fixtures missing')
+    (b1, s1), (b2, s2) = both([f1, f2])
+    assert_equal_batches(b1, b2)
+    assert s1.records_parsed == s2.records_parsed
+
+
+def test_error_parity(tmp_path):
+    bad = tmp_path / 'bad.fastq'
+    bad.write_text('@r1\nACGT\nXIIII\nIIII\n')
+    with pytest.raises(reader.FastqFormatError) as e1:
+        list(native.batches([str(bad)], ord('!'), 1,
+                            reader.ReaderStats(), 16))
+    os.environ['KVARQ_NATIVE'] = '0'
+    try:
+        with pytest.raises(reader.FastqFormatError) as e2:
+            list(reader.batches([str(bad)], ord('!'), 1,
+                                reader.ReaderStats(), 16))
+    finally:
+        os.environ.pop('KVARQ_NATIVE')
+    assert str(e1.value) == str(e2.value)
+
+    bad2 = tmp_path / 'bad2.fastq'
+    bad2.write_text('r1\nACGT\n+\nIIII\n')
+    with pytest.raises(reader.FastqFormatError) as e3:
+        list(native.batches([str(bad2)], ord('!'), 1,
+                            reader.ReaderStats(), 16))
+    assert "start with '@'" in str(e3.value)
+
+
+def test_multistream_gz(tmp_path):
+    ''' concatenated gz members must decompress as one stream
+        (workhorse.c:841-866) '''
+    rec = b'@r\nACGTACGT\n+\nIIIIIIII\n'
+    p = tmp_path / 'multi.fastq.gz'
+    with open(p, 'wb') as f:
+        f.write(gzip.compress(rec * 3))
+        f.write(gzip.compress(rec * 2))
+    (b1, s1), (b2, s2) = both([str(p)])
+    assert s1.records_parsed == 5
+    assert_equal_batches(b1, b2)
