@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+'''
+Packaging for kvarq_tpu (reference setup.py:31-149: C-extension build +
+``kvarq`` console entry point; the py2exe/py2app/NSIS bundling of the
+reference is obsolete -- modern wheels serve the same purpose).
+
+The native FastQ reader (csrc/reader.cpp) is built as a plain shared
+library loaded via ctypes; it is optional -- the numpy pipeline is a
+byte-exact fallback -- so build failures do not fail the install.
+'''
+
+import os
+import subprocess
+import sys
+
+from setuptools import setup, find_packages
+from setuptools.command.build_py import build_py
+
+HERE = os.path.abspath(os.path.dirname(__file__))
+
+
+def build_native():
+    src = os.path.join(HERE, 'csrc', 'reader.cpp')
+    lib = os.path.join(HERE, 'csrc', '_reader.so')
+    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC',
+           '-o', lib, src, '-lz']
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except Exception as e:
+        sys.stderr.write('warning: native reader build failed (%s); '
+                         'the numpy pipeline will be used\n' % e)
+        return False
+
+
+class BuildWithNative(build_py):
+    def run(self):
+        build_native()
+        super().run()
+
+
+def read_version():
+    with open(os.path.join(HERE, 'kvarq_tpu', '__init__.py')) as f:
+        for line in f:
+            if line.startswith('VERSION'):
+                return line.split("'")[1]
+    return '0.0'
+
+
+setup(
+    name='kvarq-tpu',
+    version=read_version(),
+    description='TPU-native targeted variant calling from FastQ reads',
+    packages=find_packages(include=['kvarq_tpu*', 'kvarq*']),
+    package_data={'': ['../csrc/reader.cpp', '../csrc/_reader.so']},
+    python_requires='>=3.10',
+    install_requires=['numpy', 'jax'],
+    entry_points={
+        'console_scripts': ['kvarq = kvarq_tpu.cli:main'],
+    },
+    cmdclass={'build_py': BuildWithNative},
+)
