@@ -382,6 +382,9 @@ def build_parser():
     parser_scan.set_defaults(func=scan)
     parser_scan.add_argument('-p', '--progress', action='store_true',
                              help='shows progress bar on stdout while scanning')
+    # accepted but without effect, exactly like the reference: the flag is
+    # declared (cli.py:399-400) yet never read anywhere -- use `kvarq
+    # update` to recompute analyses from a previous scan's coverages
     parser_scan.add_argument('-S', '--no-scan', action='store_true',
                              help='instead of scanning the original file, the '
                                   'provided .json file from a previous scan '

@@ -228,10 +228,10 @@ def findseqs(fname, seqs):
         hitseqs = []
 
         try:
-            for batch in reader.batches(
+            for batch in reader.prefetch(reader.batches(
                     fnames, Amin, _config['minreadlength'], _stats,
                     batchsize=_extra_config['batchsize'],
-                    stop_check=lambda: _stop):
+                    stop_check=lambda: _stop)):
                 if matcher is None:
                     continue
                 sub = batch
@@ -303,10 +303,10 @@ def countseqs(fname, seqs):
         Amin = ord(_config['Amin'])
 
         try:
-            for batch in reader.batches(
+            for batch in reader.prefetch(reader.batches(
                     fnames, Amin, _config['minreadlength'], _stats,
                     batchsize=_extra_config['batchsize'],
-                    stop_check=lambda: _stop):
+                    stop_check=lambda: _stop)):
                 if scanner is None:
                     continue
                 sub = batch

@@ -55,15 +55,22 @@ def pack_qmeta(bank, TQ=DEF_TQ):
     return qmeta
 
 
-def build_K(bank_oh, Lpad, Qp):
-    ''' im2col'd bank: K[(j,c), q] = bank_oh[c, q-(Lpad-1)+j], zero past
-        the real Q -- padded columns carry valid=0 and never pass '''
-    import jax.numpy as jnp
-    G = bank_oh.shape[1]
-    Q = G + Lpad - 1
-    bankpad = jnp.pad(bank_oh, ((0, 0), (Lpad - 1, Lpad - 1 + Qp - Q)))
-    K = jnp.stack([bankpad[:, j:j + Qp] for j in range(Lpad)])  # [L, 5, Qp]
-    return K.reshape(Lpad * encode.NBASE, Qp)
+def build_K_np(bank_codes, Lpad, Qp):
+    ''' im2col'd one-hot bank: K[(j,c), q] = onehot(bank[q-(Lpad-1)+j])[c],
+        zero past the real Q -- padded columns carry valid=0 and never
+        pass.  Built on host: doing the 128 slices inside a jit graph
+        costs minutes of (remote) compile time for zero runtime benefit
+        since K is computed once per bank. '''
+    import ml_dtypes
+    G = len(bank_codes)
+    oh = np.zeros((encode.NBASE, G + 2 * (Lpad - 1) + (Qp - G - Lpad + 1)),
+                  dtype=np.float32)
+    for c in range(encode.NBASE):
+        oh[c, Lpad - 1:Lpad - 1 + G] = (bank_codes == c)
+    K = np.empty((Lpad, encode.NBASE, Qp), dtype=np.float32)
+    for j in range(Lpad):
+        K[j] = oh[:, j:j + Qp]
+    return K.reshape(Lpad * encode.NBASE, Qp).astype(ml_dtypes.bfloat16)
 
 
 def _match_kernel(maxerrors, minoverlap,
@@ -180,15 +187,12 @@ def match_stats_call(Lpad, Qp, B, maxerrors, minoverlap,
 
 def device_arrays(bank, TQ=DEF_TQ):
     ''' device-resident bank data for :py:func:`scan_step`: the im2col'd
-        K matrix, packed q metadata, and the Q->template segment map '''
+        K matrix and packed q metadata '''
     import jax
     import jax.numpy as jnp
     qmeta = pack_qmeta(bank, TQ)
     Qp = qmeta.shape[1]
-    bank_oh = jax.nn.one_hot(jnp.asarray(bank.codes), encode.NBASE,
-                             dtype=jnp.bfloat16)
-    K = jax.jit(build_K, static_argnums=(1, 2))(
-        bank_oh.T, bank.Lpad, Qp)
+    K = jax.device_put(build_K_np(bank.codes, bank.Lpad, Qp))
     return dict(K=K, qmeta=jnp.asarray(qmeta))
 
 
@@ -199,6 +203,12 @@ def scan_step(Lpad, bank, T, maxerrors, minoverlap, B,
     tensor_scan.scan_step_fn: ``step(codes [B, Lpad] u8, rl [B] i32,
     K, qmeta) -> (basecount [5, G] f32, seqhits [T+1] i32,
     seqbasehits [T+1] i32)``.
+
+    The diagonal fold stays inside the jit graph: a host-side fold would
+    need the unfolded ``[Lpad*5, Qp]`` contraction (~100 MB) as the
+    device accumulator, and donating buffers that large round-trips
+    through the host on relayed TPU attachments (measured ~100x slower
+    steps).
 
     Statistics come from the fused kernel; coverage comes from a second
     pass restricted to the (compacted, sparse) hitting reads, with a

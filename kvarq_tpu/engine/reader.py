@@ -295,6 +295,52 @@ def batches(fnames, Amin, minreadlength, stats, batchsize=4096,
     yield from flush(force=True)
 
 
+def prefetch(iterator, depth=2):
+    '''
+    run ``iterator`` on a background thread, keeping up to ``depth``
+    items ready -- overlaps host-side parsing with device dispatch (the
+    reference overlaps I/O and scanning with its pthread fan-out,
+    workhorse.c:1375-1408; here one reader thread feeds the accelerator).
+    Exceptions re-raise at the consumer; the thread stops when the
+    consumer abandons the generator.
+    '''
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    _END = object()
+    abandoned = threading.Event()
+
+    def worker():
+        try:
+            for item in iterator:
+                while not abandoned.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if abandoned.is_set():
+                    return
+            q.put(_END)
+        except BaseException as e:   # noqa: B036 -- re-raised below
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True,
+                         name='kvarq-reader-prefetch')
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        abandoned.set()
+
+
 def _round_up(n):
     ''' pad read length to a small set of static shapes to bound the number
         of compiled kernel variants '''

@@ -269,14 +269,14 @@ class TensorScanner:
 
     def _zero_acc(self, ctx):
         import jax.numpy as jnp
-        G = ctx['bank'].G
-        return (jnp.zeros((encode.NBASE, G), dtype=jnp.float32),
+        return (jnp.zeros((encode.NBASE, ctx['bank'].G),
+                          dtype=jnp.float32),
                 jnp.zeros(self.T + 1, dtype=jnp.int32),
                 jnp.zeros(self.T + 1, dtype=jnp.int32))
 
     def _flush(self, Lpad):
         ''' move device accumulators into the exact host-side int64/float64
-            accumulators '''
+            accumulators (folding the pallas contraction on host) '''
         ctx = self._ctx[Lpad]
         if ctx['acc'] is None:
             return
@@ -295,9 +295,20 @@ class TensorScanner:
         for Lpad in list(self._ctx):
             self._flush(Lpad)
 
+    # the pallas path pads every batch up to this Lpad: one compiled
+    # executable covers all short-read buckets (each extra bucket costs
+    # minutes of remote compile time, far more than the padded FLOPs)
+    MIN_LPAD_PALLAS = 128
+
     def scan_batch(self, batch):
         import jax
         B, Lpad = batch.codes.shape
+        if self.backend == 'pallas' and Lpad < self.MIN_LPAD_PALLAS:
+            codes = np.full((B, self.MIN_LPAD_PALLAS),
+                            encode.CODE_READ_JUNK, dtype=np.uint8)
+            codes[:, :Lpad] = batch.codes
+            batch = type(batch)(codes, batch.rl, batch.filepos, batch.raw)
+            Lpad = self.MIN_LPAD_PALLAS
         ctx = self._context(Lpad)
         if ctx['bank'].G == 0:
             return

@@ -172,6 +172,37 @@ def test_scan_illustrate():
 
 
 @needs_genome
+def test_scan_hits_extract(tmp_path):
+    ''' -H stores the hit list in the json; -x writes the full FastQ
+        records of every hit (reference cli.py:441-445, analyse.py:536) '''
+    lo.setLevel(logging.WARNING)
+    try:
+        import json
+        jpath = str(tmp_path / 'out.json')
+        xpath = str(tmp_path / 'hits.fastq')
+        main(['scan', '-l', 'MTBC/phylo', '-f', '-H', '-x', xpath,
+              MTBC_fastq2, jpath])
+        data = json.load(open(jpath))
+        assert 'hits' in data and len(data['hits'])
+        assert 'hitseqs' in data and \
+            len(data['hitseqs']) == len(data['hits'])
+        # every hit record is a well-formed FastQ record
+        lines = open(xpath).read().strip().split('\n')
+        assert len(lines) % 4 == 0 and len(lines) // 4 == len(data['hits'])
+        assert all(ln.startswith('@') for ln in lines[0::4])
+        assert all(ln.startswith('+') for ln in lines[2::4])
+
+        # scanning with -H produces the same analyses as without
+        jpath2 = str(tmp_path / 'out2.json')
+        main(['scan', '-l', 'MTBC/phylo', '-f', MTBC_fastq2, jpath2])
+        data2 = json.load(open(jpath2))
+        assert data['analyses'] == data2['analyses']
+        assert data['coverages'] == data2['coverages']
+    finally:
+        lo.setLevel(logging.INFO)
+
+
+@needs_genome
 def test_scan_update_summarize(tmp_path):
     ''' update recomputes identical results; summarize emits csv '''
     lo.setLevel(logging.WARNING)

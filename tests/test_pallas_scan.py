@@ -28,8 +28,11 @@ def _random_case(rng, nseq, B, Lpad, minlen=5, maxlen=60):
         raw[b, off:off + len(s)] = np.frombuffer(s, np.uint8)[:Lpad - off]
         rl[b] = max(rl[b], min(Lpad, off + len(s)))
     codes = encode.encode_read_array(raw)
-    codes[np.arange(Lpad)[None, :] >= rl[:, None]] = encode.CODE_READ_JUNK
-    return seqs, codes, rl
+    pad = np.arange(Lpad)[None, :] >= rl[:, None]
+    codes[pad] = encode.CODE_READ_JUNK
+    raw = raw.copy()
+    raw[pad] = 0
+    return seqs, codes, rl, raw
 
 
 @pytest.mark.parametrize('maxerrors,minoverlap', [(0, 25), (2, 25), (3, 8)])
@@ -38,7 +41,7 @@ def test_pallas_matches_xla(maxerrors, minoverlap):
 
     rng = np.random.RandomState(42 + maxerrors)
     Lpad, B = 64, 16
-    seqs, codes, rl = _random_case(rng, nseq=7, B=B, Lpad=Lpad)
+    seqs, codes, rl, _ = _random_case(rng, nseq=7, B=B, Lpad=Lpad)
     T = len(seqs)
 
     bank = build_bank(seqs, Lpad, minoverlap)
@@ -59,6 +62,28 @@ def test_pallas_matches_xla(maxerrors, minoverlap):
             np.asarray(a), np.asarray(b), err_msg=name)
 
 
+def test_pallas_matcher_parity():
+    ''' PallasMatcher (kernel prefilter + XLA triplet extraction) returns
+        exactly the numpy matcher's (read, template, shift) triplets '''
+    from kvarq_tpu.engine.match_numpy import NumpyMatcher
+    from kvarq_tpu.engine.match_pallas import PallasMatcher
+    from kvarq_tpu.engine.reader import RecordBatch
+
+    rng = np.random.RandomState(11)
+    Lpad, B = 64, 32
+    seqs, codes, rl, raw = _random_case(rng, nseq=5, B=B, Lpad=Lpad)
+
+    batch = RecordBatch(codes, rl, np.zeros(B, np.int64), raw)
+    ref = NumpyMatcher(seqs, 2, 20).match_batch(batch)
+    out = PallasMatcher(seqs, 2, 20, sub=32, TB=8,
+                        TQ=128).match_batch(batch)
+
+    def key(tri):
+        return sorted(map(tuple, tri))
+    assert key(out) == key(ref)
+    assert len(out) > 0
+
+
 def test_pallas_gather_fallback():
     ''' more hitting reads than gather_k -> the cond fallback computes the
         full contraction; results must stay identical '''
@@ -66,7 +91,7 @@ def test_pallas_gather_fallback():
 
     rng = np.random.RandomState(7)
     Lpad, B = 64, 16
-    seqs, codes, rl = _random_case(rng, nseq=3, B=B, Lpad=Lpad)
+    seqs, codes, rl, _ = _random_case(rng, nseq=3, B=B, Lpad=Lpad)
     T = len(seqs)
     bank = build_bank(seqs, Lpad, 10)
 
