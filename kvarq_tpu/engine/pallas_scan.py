@@ -10,13 +10,14 @@ and immediately gates + reduces it on the VPU without leaving VMEM:
 
 - per-column partials ``w_q``/``wov_q`` (hit counts / overlap-base sums
   per bank shift column) accumulate across the read-block grid axis;
-- per-read hit totals are emitted as ``[nQ, B]`` partials (each grid step
-  owns one block -- no non-consecutive output revisits) and reduced by XLA.
+- per-read hit totals are emitted as ``[8*nQ, B]`` partials (each grid
+  step owns one block -- no non-consecutive output revisits) and reduced
+  by XLA.
 
 Coverage accumulation (the second MXU contraction) is NOT in the kernel:
-hits are sparse in real FastQs, so the caller compacts the hitting reads
-(using the per-read totals) and runs the small ``[k, Q]`` recompute +
-scatter via the XLA path (tensor_scan.scan_step_fn's gather branch).
+hits are sparse in real FastQs, so :py:func:`scan_step_banked` compacts
+the hitting reads (using the per-read totals) and runs the small
+``[k, Q]`` recompute + scatter as plain XLA matmuls.
 
 Replicates the reference hot loop semantics (workhorse.c:1107-1174) via
 the shared mode-weight formulas in kvarq_tpu.engine.tensor_scan; output is
@@ -42,17 +43,28 @@ def _ceil_to(x, m):
     return -(-x // m) * m
 
 
-def pack_qmeta(bank, TQ=DEF_TQ):
+def pack_qmeta(bank, TQ=DEF_TQ, Qp=None):
     ''' pack per-shift-column metadata into one sublane-aligned [8, Qp]
         int32 array (rows: d_of, seql_of, valid) '''
     Q = bank.Q
-    Qp = max(_ceil_to(Q, TQ), TQ)
+    if Qp is None:
+        Qp = max(_ceil_to(Q, TQ), TQ)
     qmeta = np.zeros((8, Qp), dtype=np.int32)
     qmeta[ROW_SEQL, :] = 1
     qmeta[ROW_D, :Q] = bank.d_of
     qmeta[ROW_SEQL, :Q] = bank.seql_of
     qmeta[ROW_VALID, :Q] = (bank.tid >= 0)
     return qmeta
+
+
+def pack_tseg(bank, T, TQ=DEF_TQ, Qp=None):
+    ''' Q -> template-id segment map padded to Qp (invalid columns map to
+        the discard segment T) '''
+    if Qp is None:
+        Qp = max(_ceil_to(bank.Q, TQ), TQ)
+    tseg = np.full(Qp, T, dtype=np.int32)
+    tseg[:bank.Q] = np.where(bank.tid >= 0, bank.tid, T)
+    return tseg
 
 
 def build_K_np(bank_codes, Lpad, Qp):
@@ -215,19 +227,35 @@ def scan_step(Lpad, bank, T, maxerrors, minoverlap, B,
     ``lax.cond`` fallback to the all-reads contraction when more than
     ``gather_k`` reads hit.
     '''
+    qmeta_np = pack_qmeta(bank, TQ)
+    tseg_np = pack_tseg(bank, T, TQ)
+    inner = scan_step_banked(Lpad, bank.G, qmeta_np.shape[1], T,
+                             maxerrors, minoverlap, B, gather_k,
+                             interpret, TB, TQ)
+
+    def step(codes, rl, K, qmeta):
+        import jax.numpy as jnp
+        return inner(codes, rl, K, qmeta, jnp.asarray(tseg_np))
+
+    return step
+
+
+def scan_step_banked(Lpad, G, Qp, T, maxerrors, minoverlap, B,
+                     gather_k=1024, interpret=False, TB=DEF_TB,
+                     TQ=DEF_TQ):
+    '''
+    bank-agnostic variant of :py:func:`scan_step`: all bank data (K,
+    qmeta, tseg) are runtime arguments, so the same traced program can
+    run on different (equally-shaped) per-shard sub-banks under
+    ``shard_map`` (kvarq_tpu.parallel).
+    '''
     import jax
     import jax.numpy as jnp
     from jax import lax
     from kvarq_tpu.engine.tensor_scan import mode_weights
 
-    G = bank.G
-    Q = bank.Q
-    qmeta_np = pack_qmeta(bank, TQ)
-    Qp = qmeta_np.shape[1]
     L5 = Lpad * encode.NBASE
     Bp = max(_ceil_to(B, TB), TB)
-    tseg_np = np.full(Qp, T, dtype=np.int32)
-    tseg_np[:Q] = np.where(bank.tid >= 0, bank.tid, T)
 
     kcall = match_stats_call(Lpad, Qp, Bp, maxerrors, minoverlap,
                              TB, TQ, interpret)
@@ -238,8 +266,7 @@ def scan_step(Lpad, bank, T, maxerrors, minoverlap, B,
         return sum(RTw[j, :, Lpad - 1 - j:Lpad - 1 - j + G]
                    for j in range(Lpad))                     # [5, G]
 
-    def step(codes, rl, K, qmeta):
-        tseg = jnp.asarray(tseg_np)
+    def step(codes, rl, K, qmeta, tseg):
         read_oh = jax.nn.one_hot(codes, encode.NBASE, dtype=jnp.bfloat16)
         read_flat = read_oh.reshape(-1, L5)
         rl = rl.astype(jnp.int32)

@@ -101,6 +101,27 @@ class ShardBank:
             valid_q=jnp.asarray(self.tid >= 0),
         )
 
+    def pallas_device_arrays(self, T, TQ):
+        ''' per-shard K / qmeta / tseg stacked to [n_bank, ...] with a
+            common padded Qp; tseg uses global template numbering '''
+        import jax
+        import jax.numpy as jnp
+        from kvarq_tpu.engine import pallas_scan
+
+        Qp = max(-(-(self.G + self.Lpad - 1) // TQ) * TQ, TQ)
+        Ks, qmetas, tsegs = [], [], []
+        for (lo, hi), b in zip(self.ranges, self.sub):
+            Ks.append(pallas_scan.build_K_np(b.codes, self.Lpad, Qp))
+            qmetas.append(pallas_scan.pack_qmeta(b, Qp=Qp))
+            tseg = pallas_scan.pack_tseg(b, T, Qp=Qp)
+            tseg[tseg != T] += lo
+            tsegs.append(tseg)
+        return dict(
+            K=jax.device_put(np.stack(Ks)),          # [nb, L*5, Qp]
+            qmeta=jnp.asarray(np.stack(qmetas)),     # [nb, 8, Qp]
+            tseg=jnp.asarray(np.stack(tsegs)),       # [nb, Qp]
+        ), Qp
+
 
 def sharded_scan_step(mesh, Lpad, G, T, maxerrors, minoverlap,
                       dtype_name='bfloat16'):
@@ -137,6 +158,41 @@ def sharded_scan_step(mesh, Lpad, G, T, maxerrors, minoverlap,
     return jax.jit(mapped)
 
 
+def sharded_scan_step_pallas(mesh, Lpad, G, Qp, T, maxerrors, minoverlap,
+                             B_local, interpret=False, TB=None, TQ=None):
+    '''
+    shard_map'd scan step running the fused Pallas kernel per device:
+    ``step(codes [B, Lpad], rl [B], K [nb, L*5, Qp], qmeta [nb, 8, Qp],
+    tseg [nb, Qp]) -> (basecount [n_bank, 5, G], seqhits, seqbasehits)``.
+    ``B`` must equal ``B_local * n_data`` (pad with rl=0 rows).
+    '''
+    import jax
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+    from kvarq_tpu.engine import pallas_scan
+
+    inner = pallas_scan.scan_step_banked(
+        Lpad, G, Qp, T, maxerrors, minoverlap, B_local,
+        gather_k=min(512, B_local), interpret=interpret,
+        TB=TB or pallas_scan.DEF_TB, TQ=TQ or pallas_scan.DEF_TQ)
+
+    def shard_fn(codes, rl, K, qmeta, tseg):
+        basecount, seqhits, seqbasehits = inner(
+            codes, rl, K[0], qmeta[0], tseg[0])
+        basecount = lax.psum(basecount, 'data')
+        seqhits = lax.psum(seqhits, ('data', 'bank'))
+        seqbasehits = lax.psum(seqbasehits, ('data', 'bank'))
+        return basecount[None], seqhits, seqbasehits
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P('data'), P('data'), P('bank'), P('bank'), P('bank')),
+        out_specs=(P('bank'), P(), P()),
+        # pallas_call outputs carry no varying-mesh-axes annotation
+        check_vma=False)
+    return jax.jit(mapped)
+
+
 class ShardedScanner:
     ''' multi-device counterpart of
         :py:class:`kvarq_tpu.engine.tensor_scan.TensorScanner`: accumulates
@@ -144,7 +200,9 @@ class ShardedScanner:
         ('data', 'bank') mesh.  Results are bitwise-equal to the
         single-device scanner. '''
 
-    def __init__(self, seqs, maxerrors, minoverlap, mesh=None):
+    def __init__(self, seqs, maxerrors, minoverlap, mesh=None,
+                 backend=None):
+        import os
         import jax
         self.seqs = list(seqs)
         self.maxerrors = maxerrors
@@ -154,6 +212,10 @@ class ShardedScanner:
         self.n_data = self.mesh.shape['data']
         self.n_bank = self.mesh.shape['bank']
         self.platform = jax.default_backend()
+        backend = backend or os.environ.get('KVARQ_TENSOR_BACKEND', 'auto')
+        if backend == 'auto':
+            backend = 'xla' if self.platform == 'cpu' else 'pallas'
+        self.backend = backend
         self._ctx = {}
         self.reset()
 
@@ -162,16 +224,35 @@ class ShardedScanner:
         self.seqhits = np.zeros(self.T, dtype=np.int64)
         self.seqbasehits = np.zeros(self.T, dtype=np.int64)
 
+    # per-device batch rows for the pallas sharded step (static shape:
+    # every global batch is chunked/padded to n_data * B_LOCAL rows);
+    # TB/TQ override the kernel tiles (tests use tiny ones)
+    B_LOCAL = 2048
+    TB = None
+    TQ = None
+
     def _context(self, Lpad):
         if Lpad not in self._ctx:
+            from kvarq_tpu.engine import pallas_scan
             bank = ShardBank(self.seqs, Lpad, self.n_bank,
                              self.minoverlap)
-            dtype = 'float32' if self.platform == 'cpu' else 'bfloat16'
-            arrays = bank.device_arrays(dtype)
-            step = sharded_scan_step(
-                self.mesh, Lpad, bank.G, self.T, self.maxerrors,
-                self.minoverlap, dtype_name=dtype)
-            self._ctx[Lpad] = (bank, arrays, step)
+            if self.backend == 'pallas':
+                arrays, Qp = bank.pallas_device_arrays(
+                    self.T, self.TQ or pallas_scan.DEF_TQ)
+                step = sharded_scan_step_pallas(
+                    self.mesh, Lpad, bank.G, Qp, self.T, self.maxerrors,
+                    self.minoverlap, self.B_LOCAL,
+                    interpret=(self.platform == 'cpu'),
+                    TB=self.TB, TQ=self.TQ)
+                sub = self.B_LOCAL * self.n_data
+            else:
+                dtype = 'float32' if self.platform == 'cpu' else 'bfloat16'
+                arrays = bank.device_arrays(dtype)
+                step = sharded_scan_step(
+                    self.mesh, Lpad, bank.G, self.T, self.maxerrors,
+                    self.minoverlap, dtype_name=dtype)
+                sub = None   # any multiple of n_data
+            self._ctx[Lpad] = (bank, arrays, step, sub)
         return self._ctx[Lpad]
 
     def scan_batch(self, batch):
@@ -179,27 +260,33 @@ class ShardedScanner:
         B, Lpad = batch.codes.shape
         if not self.T:
             return
-        bank, arrays, step = self._context(Lpad)
+        bank, arrays, step, sub = self._context(Lpad)
 
-        codes, rl = batch.codes, batch.rl
-        rem = B % self.n_data
-        if rem:  # pad to a multiple of the data axis (rl=0 rows gate out)
-            pad = self.n_data - rem
-            codes = np.concatenate(
-                [codes, np.full((pad, Lpad), encode.CODE_READ_JUNK,
-                                dtype=np.uint8)])
-            rl = np.concatenate([rl, np.zeros(pad, dtype=np.int32)])
-
-        basecount, seqhits, seqbasehits = step(
-            jnp.asarray(codes), jnp.asarray(rl),
-            arrays['bank_oh'], arrays['d_of'], arrays['seql_of'],
-            arrays['tid'], arrays['valid_q'])
-        acc = self.basecounts.setdefault(
-            Lpad, np.zeros((self.n_bank, encode.NBASE, bank.G),
-                           dtype=np.float64))
-        acc += np.asarray(basecount, dtype=np.float64)
-        self.seqhits += np.asarray(seqhits[:self.T], dtype=np.int64)
-        self.seqbasehits += np.asarray(seqbasehits[:self.T], dtype=np.int64)
+        chunk = sub if sub else -(-B // self.n_data) * self.n_data
+        for lo_ in range(0, B, chunk):
+            codes = batch.codes[lo_:lo_ + chunk]
+            rl = batch.rl[lo_:lo_ + chunk]
+            if len(codes) < chunk:  # pad (rl=0 rows gate out)
+                pad = chunk - len(codes)
+                codes = np.concatenate(
+                    [codes, np.full((pad, Lpad), encode.CODE_READ_JUNK,
+                                    dtype=np.uint8)])
+                rl = np.concatenate([rl, np.zeros(pad, dtype=np.int32)])
+            if self.backend == 'pallas':
+                args = (arrays['K'], arrays['qmeta'], arrays['tseg'])
+            else:
+                args = (arrays['bank_oh'], arrays['d_of'],
+                        arrays['seql_of'], arrays['tid'],
+                        arrays['valid_q'])
+            basecount, seqhits, seqbasehits = step(
+                jnp.asarray(codes), jnp.asarray(rl), *args)
+            acc = self.basecounts.setdefault(
+                Lpad, np.zeros((self.n_bank, encode.NBASE, bank.G),
+                               dtype=np.float64))
+            acc += np.asarray(basecount, dtype=np.float64)
+            self.seqhits += np.asarray(seqhits[:self.T], dtype=np.int64)
+            self.seqbasehits += np.asarray(seqbasehits[:self.T],
+                                           dtype=np.int64)
 
     def coverages(self):
         ''' list (per template, ``seqs`` order) of [5, S] base counts '''

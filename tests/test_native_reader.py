@@ -22,8 +22,6 @@ pytestmark = pytest.mark.skipif(
 def both(fnames, Amin=ord('!'), minreadlength=3, batchsize=64):
     s1, s2 = reader.ReaderStats(), reader.ReaderStats()
     b1 = list(native.batches(fnames, Amin, minreadlength, s1, batchsize))
-    gen = reader.batches.__wrapped__ if hasattr(reader.batches, '__wrapped__') \
-        else None
     os.environ['KVARQ_NATIVE'] = '0'
     try:
         b2 = list(reader.batches(fnames, Amin, minreadlength, s2, batchsize))
