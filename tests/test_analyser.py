@@ -6,6 +6,8 @@ Coverage.apply_hit micro-scenarios.
 
 import os.path
 
+import numpy as np
+
 import pytest
 
 from kvarq_tpu import engine
@@ -93,6 +95,34 @@ def test_genes(suites):
     assert analyser.results['spoligo'].split(' ')[0] == '400000000000001'
     assert analyser.results['phylo'].startswith(
         'lineage 2/beijing sublineage')
+
+
+def test_no_reverse(suites, tmp_path):
+    ''' -1/--no-reverse: only the plus strand is scanned, so a read that
+        is the reverse complement of a template stops hitting '''
+    from kvarq_tpu.analyse import Analyser
+
+    engine.config(nthreads=1, minoverlap=10, maxerrors=0,
+                  minreadlength=10, Amin='!')
+
+    # reverse-complement of the spoligo43 spacer (numbered 42)
+    spacer = [t for t in suites['spoligo'].tests
+              if t.genotype.identifier == 'spoligo42'][0]
+    rc = genes.Sequence(spacer.template.bases).reverse().bases
+    fname = tmp_path / 'rc.fastq'
+    fname.write_text('@r0\n%s\n+\n%s\n' % (rc, 'I' * len(rc)))
+
+    full = Analyser()
+    full.scan(Fastq(str(fname), variant='Sanger', quiet=True), suites,
+              do_reverse=True)
+    fwd = Analyser()
+    fwd.scan(Fastq(str(fname), variant='Sanger', quiet=True), suites,
+             do_reverse=False)
+
+    assert list(fwd.coverages.keys()) == list(full.coverages.keys())
+    name = str(spacer.template)
+    assert np.asarray(full.coverages[name].coverage).sum() > 0
+    assert np.asarray(fwd.coverages[name].coverage).sum() == 0
 
 
 def test_coverage():
