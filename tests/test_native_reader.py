@@ -57,10 +57,8 @@ def test_parity(fname, Amin):
 
 
 def test_multi_file():
-    f1 = os.path.join(FASTQS, 'test_engine_part1.fastq')
-    f2 = os.path.join(FASTQS, 'test_engine_part2.fastq')
-    if not (os.path.exists(f1) and os.path.exists(f2)):
-        pytest.skip('split fixtures missing')
+    f1 = os.path.join(FASTQS, 'test_engine_1.fastq')
+    f2 = os.path.join(FASTQS, 'test_engine_2.fastq')
     (b1, s1), (b2, s2) = both([f1, f2])
     assert_equal_batches(b1, b2)
     assert s1.records_parsed == s2.records_parsed
