@@ -64,6 +64,26 @@ struct Reader {
 
     std::string error;
     uint8_t code_of[256];
+
+    // optional exact k-mer seed-and-verify sieve
+    // (kvarq_tpu/engine/sieve.py, the numpy oracle this must match
+    // read-for-read): three-stage cascade -- presence bit, >= t seeds on
+    // one (diagonal, template), exact overlap mismatch count <= e.  The
+    // index arrays are owned by the Python side for the handle's
+    // lifetime; `present` (packed presence bit per kcode, cache-resident
+    // fast path) is built here.
+    const int32_t* sieve_start = nullptr;
+    const int32_t* sieve_gpos = nullptr;
+    const int32_t* sieve_gtid = nullptr;
+    const int32_t* sieve_tstart = nullptr;
+    const int32_t* sieve_tstop = nullptr;
+    const uint8_t* sieve_bank = nullptr;
+    std::vector<uint64_t> sieve_present;
+    int sieve_k = 0;
+    int sieve_t = 0;
+    int sieve_m = 0;
+    int sieve_e = 0;
+    int64_t sieve_p5k = 0;   // 5^k
 };
 
 void update_total(Reader* r) {
@@ -227,6 +247,35 @@ Reader* kvq_open(const char** fnames, int nfiles, int amin,
 
 const char* kvq_error(Reader* r) { return r->error.c_str(); }
 
+// enable the seed-and-verify sieve: `start` has 5^k + 1 entries,
+// `gpos[start[c]:start[c+1]]` / `gtid[...]` are bank position + template
+// id per k-mer code; `tstart`/`tstop` are template spans in global
+// coords; `bank` the concatenated template codes.  A read survives iff
+// some (diagonal, template) collects `t` exact seeds AND the actual
+// overlap there has length >= m with <= e mismatches.  Caller keeps all
+// arrays alive until kvq_close.
+void kvq_set_sieve(Reader* r, const int32_t* start, const int32_t* gpos,
+                   const int32_t* gtid, const int32_t* tstart,
+                   const int32_t* tstop, const uint8_t* bank,
+                   int k, int t, int m, int maxerrors) {
+    r->sieve_start = start;
+    r->sieve_gpos = gpos;
+    r->sieve_gtid = gtid;
+    r->sieve_tstart = tstart;
+    r->sieve_tstop = tstop;
+    r->sieve_bank = bank;
+    r->sieve_k = k;
+    r->sieve_t = t;
+    r->sieve_m = m;
+    r->sieve_e = maxerrors;
+    r->sieve_p5k = 1;
+    for (int i = 0; i < k; i++) r->sieve_p5k *= 5;
+    r->sieve_present.assign(((size_t)r->sieve_p5k + 63) / 64, 0);
+    for (int64_t c = 0; c < r->sieve_p5k; c++)
+        if (start[c + 1] > start[c])
+            r->sieve_present[(size_t)c >> 6] |= 1ull << (c & 63);
+}
+
 void kvq_stats(Reader* r, int64_t* records_parsed, int64_t* parsed,
                int64_t* total, int64_t* rls_longest, int64_t* rls) {
     *records_parsed = r->records_parsed;
@@ -245,8 +294,13 @@ long kvq_next(Reader* r, long cap, long lmax, uint8_t* raw, uint8_t* codes,
     int maxrl = 0;
     const int amin = r->amin;
     const int minrl = r->minreadlength;
+    // with the sieve active one call could otherwise consume the whole
+    // file; cap the records parsed per call (once something was emitted)
+    // so live stats / stop() stay responsive
+    const int64_t parse_cap = r->records_parsed + 4 * 262144;
 
     while (out < cap) {
+        if (out > 0 && r->records_parsed >= parse_cap) break;
         const uint8_t* b = r->buf.data();
         const size_t len = r->buf.size();
         size_t p = r->buf_pos;
@@ -318,6 +372,75 @@ long kvq_next(Reader* r, long cap, long lmax, uint8_t* raw, uint8_t* codes,
                 return -1;
             }
             size_t bs = nls[0] + 1 + (size_t)best_off;  // trimmed read start
+
+            if (r->sieve_start && rl >= r->sieve_k) {
+                // three-stage seed-and-verify filter; must keep exactly
+                // the reads kvarq_tpu.engine.sieve.KmerSieve.candidates
+                // keeps (the numpy oracle; tests assert read-for-read
+                // parity).  Junk bytes (anything outside ACGTN) reset
+                // the rolling window.
+                const uint8_t* p = b + bs;
+                const int64_t p5k = r->sieve_p5k;
+                const int k = r->sieve_k;
+                const int t = r->sieve_t;
+                constexpr int MAX_SEEDS = 256;
+                int32_t diags[MAX_SEEDS];
+                int32_t tids[MAX_SEEDS];
+                int16_t counts[MAX_SEEDS];
+                int nseeds = 0;
+                int64_t kcode = 0;
+                int run = 0;
+                bool cand = false;
+                for (int i = 0; i < rl && !cand; i++) {
+                    uint8_t c = r->code_of[p[i]];
+                    if (c >= 5) { run = 0; kcode = 0; continue; }
+                    kcode = (kcode * 5 + c) % p5k;
+                    if (++run < k) continue;
+                    // stage 1: cache-resident presence bit
+                    if (!(r->sieve_present[(size_t)kcode >> 6]
+                          >> (kcode & 63) & 1))
+                        continue;
+                    const int wpos = i + 1 - k;  // window start in read
+                    for (int32_t j = r->sieve_start[kcode];
+                         j < r->sieve_start[kcode + 1] && !cand; j++) {
+                        const int32_t diag = r->sieve_gpos[j] - wpos;
+                        const int32_t tid = r->sieve_gtid[j];
+                        int s = 0;
+                        for (; s < nseeds; s++)
+                            if (diags[s] == diag && tids[s] == tid) break;
+                        if (s == nseeds) {
+                            if (nseeds == MAX_SEEDS) {  // overflow:
+                                cand = true;            // keep (conservative)
+                                break;
+                            }
+                            diags[s] = diag; tids[s] = tid; counts[s] = 0;
+                            nseeds++;
+                        }
+                        // stage 2: t seeds on one (diagonal, template)
+                        if (++counts[s] != t) continue;
+                        // stage 3: exact overlap check at this diagonal
+                        int64_t lo2 = r->sieve_tstart[tid];
+                        if (diag > lo2) lo2 = diag;
+                        int64_t hi2 = r->sieve_tstop[tid];
+                        if (diag + rl < hi2) hi2 = diag + rl;
+                        if (hi2 - lo2 < r->sieve_m) { counts[s] = -32000; continue; }
+                        int mism = 0;
+                        bool pass = true;
+                        for (int64_t g2 = lo2; g2 < hi2; g2++) {
+                            if (r->sieve_bank[g2]
+                                != r->code_of[p[g2 - diag]]
+                                && ++mism > r->sieve_e) {
+                                pass = false;
+                                break;
+                            }
+                        }
+                        if (pass) cand = true;
+                        else counts[s] = -32000;  // verified dead
+                    }
+                }
+                if (!cand) { r->buf_pos = nls[3] + 1; continue; }
+            }
+
             // rows are filled only up to rl; the Python side pads the
             // (much narrower) length-bucketed slice vectorized
             uint8_t* rrow = raw + out * lmax;

@@ -167,13 +167,9 @@ def _auto_backend():
     return 'xla'
 
 
-def _make_sieve(seqs, default_on=True):
+def _make_sieve(seqs):
     mode = _extra_config['sieve']
     if mode in (False, 'off', '0', 'no'):
-        return None
-    if mode == 'auto' and not default_on:
-        # the fused TPU kernel outruns the host-side sieve -- prefiltering
-        # would only serialize the pipeline
         return None
     from kvarq_tpu.engine.sieve import KmerSieve
     sieve = KmerSieve.build(seqs, _config['maxerrors'],
@@ -231,23 +227,11 @@ def findseqs(fname, seqs):
             for batch in reader.prefetch(reader.batches(
                     fnames, Amin, _config['minreadlength'], _stats,
                     batchsize=_extra_config['batchsize'],
-                    stop_check=lambda: _stop)):
+                    stop_check=lambda: _stop,
+                    sieve=sieve if matcher is not None else None)):
                 if matcher is None:
                     continue
-                sub = batch
-                sel = None
-                if sieve is not None:
-                    sel = sieve.candidates(batch)
-                    if sel is not None and len(sel) < len(batch):
-                        if len(sel) == 0:
-                            continue
-                        sub = reader.RecordBatch(
-                            batch.codes[sel], batch.rl[sel],
-                            batch.filepos[sel], batch.raw[sel])
-                triplets = matcher.match_batch(sub)
-                if sel is not None and len(triplets):
-                    triplets = triplets.copy()
-                    triplets[:, 0] = sel[triplets[:, 0]]
+                triplets = matcher.match_batch(batch)
                 _emit(triplets, batch, seqlens, mo, hits, hitseqs)
         except reader.FastqFormatError as e:
             raise FastqFileFormatException(str(e))
@@ -297,28 +281,18 @@ def countseqs(fname, seqs):
 
         scanner = TensorScanner(seqs, _config['maxerrors'],
                                 _config['minoverlap']) if seqs else None
-        sieve = _make_sieve(
-            seqs, default_on=scanner.backend != 'pallas') \
-            if seqs else None
+        sieve = _make_sieve(seqs) if seqs else None
         Amin = ord(_config['Amin'])
 
         try:
             for batch in reader.prefetch(reader.batches(
                     fnames, Amin, _config['minreadlength'], _stats,
                     batchsize=_extra_config['batchsize'],
-                    stop_check=lambda: _stop)):
+                    stop_check=lambda: _stop,
+                    sieve=sieve if scanner is not None else None)):
                 if scanner is None:
                     continue
-                sub = batch
-                if sieve is not None:
-                    sel = sieve.candidates(batch)
-                    if sel is not None and len(sel) < len(batch):
-                        if len(sel) == 0:
-                            continue
-                        sub = reader.RecordBatch(
-                            batch.codes[sel], batch.rl[sel],
-                            batch.filepos[sel], batch.raw[sel])
-                scanner.scan_batch(sub)
+                scanner.scan_batch(batch)
                 # live counters for stats() polling during the scan
                 _seqhits[:] = scanner.seqhits
                 _seqbasehits[:] = scanner.seqbasehits

@@ -68,6 +68,16 @@ def get_lib():
         lib.kvq_stats.argtypes = [ctypes.c_void_p] + \
             [ctypes.POINTER(ctypes.c_int64)] * 4 + \
             [np.ctypeslib.ndpointer(np.int64, flags='C')]
+        lib.kvq_set_sieve.restype = None
+        lib.kvq_set_sieve.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int32, flags='C'),   # start
+            np.ctypeslib.ndpointer(np.int32, flags='C'),   # gpos
+            np.ctypeslib.ndpointer(np.int32, flags='C'),   # gtid
+            np.ctypeslib.ndpointer(np.int32, flags='C'),   # tstart
+            np.ctypeslib.ndpointer(np.int32, flags='C'),   # tstop
+            np.ctypeslib.ndpointer(np.uint8, flags='C'),   # bank codes
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.kvq_next.restype = ctypes.c_long
         lib.kvq_next.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
@@ -86,13 +96,28 @@ def available():
 
 
 def batches(fnames, Amin, minreadlength, stats, batchsize=16384,
-            stop_check=None):
+            stop_check=None, sieve=None):
     ''' generator over reader.RecordBatch, same contract as
-        reader.batches() but backed by the native pipeline '''
+        reader.batches() but backed by the native pipeline.  With a
+        ``sieve`` (kvarq_tpu.engine.sieve.KmerSieve), provably hit-free
+        reads are dropped at parse time inside the C loop -- every yielded
+        batch is full of candidate reads '''
     lib = get_lib()
     names = (ctypes.c_char_p * len(fnames))(
         *[f.encode() for f in fnames])
     h = lib.kvq_open(names, len(fnames), Amin, minreadlength)
+    if sieve is not None:
+        # the C side keeps pointers; hold the arrays until kvq_close
+        sieve_arrays = [
+            np.ascontiguousarray(sieve.start, dtype=np.int32),
+            np.ascontiguousarray(sieve.gpos, dtype=np.int32),
+            np.ascontiguousarray(sieve.gtid, dtype=np.int32),
+            np.ascontiguousarray(sieve.tstart, dtype=np.int32),
+            np.ascontiguousarray(sieve.tstop, dtype=np.int32),
+            np.ascontiguousarray(sieve.bank_codes, dtype=np.uint8),
+        ]
+        lib.kvq_set_sieve(h, *sieve_arrays, sieve.k, sieve.t,
+                          sieve.m, sieve.maxerrors)
     rls_buf = np.zeros(MAX_READLENGTH, dtype=np.int64)
 
     def sync_stats():

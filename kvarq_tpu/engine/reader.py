@@ -210,13 +210,19 @@ def parse_records(buf, global_offset, Amin, stats, at_eof):
 
 
 def batches(fnames, Amin, minreadlength, stats, batchsize=4096,
-            stop_check=None):
+            stop_check=None, sieve=None):
     '''
     generator over :py:class:`RecordBatch` es for the given files.
 
     :param Amin: quality cutoff as integer ASCII value
     :param stop_check: optional callable; when it returns True the stream
         ends early (engine.stop() semantics, workhorse.c:999)
+    :param sieve: optional :py:class:`kvarq_tpu.engine.sieve.KmerSieve`;
+        provably hit-free reads are dropped before batching (statistics
+        still count every parsed record).  In the native pipeline the
+        filter runs inside the C parse loop, so batches stay full of
+        candidate reads; here it subsets each built batch (slower, the
+        byte-exact oracle).
 
     Dispatches to the native C++ pipeline (csrc/reader.cpp) when it is
     available; the numpy implementation below is the byte-exact fallback
@@ -226,8 +232,18 @@ def batches(fnames, Amin, minreadlength, stats, batchsize=4096,
         from kvarq_tpu.engine import native
         if native.available():
             yield from native.batches(fnames, Amin, minreadlength, stats,
-                                      batchsize, stop_check)
+                                      batchsize, stop_check, sieve)
             return
+    if sieve is not None:
+        for batch in batches(fnames, Amin, minreadlength, stats,
+                             batchsize, stop_check):
+            sel = sieve.candidates(batch)
+            if sel is None:
+                yield batch
+            elif len(sel):
+                yield RecordBatch(batch.codes[sel], batch.rl[sel],
+                                  batch.filepos[sel], batch.raw[sel])
+        return
 
     pend = []   # list of (rl int, filepos int, raw bytes) per read, in order
 

@@ -181,15 +181,22 @@ def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
 
 
 @functools.lru_cache(maxsize=8)
-def _cached_context(seqs, Lpad, maxerrors, minoverlap, backend, platform):
+def _cached_context(seqs, Lpad, maxerrors, minoverlap, backend, platform,
+                    fuse):
     '''
     (bank, device arrays, jitted accumulate-step, device batch size) for a
     template bank + scan config.  Cached at module level so repeated scans
     in one process (CLI warmup + scan, GUI multi-file runs, benchmarks)
     reuse the compiled executable -- on remote-compile TPU attachments a
     fresh jit closure costs seconds even when the inner kernel is cached.
+
+    The jitted step consumes ``fuse`` stacked sub-batches
+    (``codes [fuse, sub, Lpad]``) per dispatch via ``lax.scan``: on
+    networked TPU attachments the per-dispatch round-trip dwarfs the
+    device compute, so batching dispatches is worth ~2x end-to-end.
     '''
     import jax
+    from jax import lax
 
     bank = build_bank(list(seqs), Lpad, minoverlap)
     T = len(seqs)
@@ -198,7 +205,7 @@ def _cached_context(seqs, Lpad, maxerrors, minoverlap, backend, platform):
         sub = 16384
         arrays = pallas_scan.device_arrays(bank)
         step = pallas_scan.scan_step(
-            Lpad, bank, T, maxerrors, minoverlap, sub, gather_k=512,
+            Lpad, bank, T, maxerrors, minoverlap, sub, gather_k=2048,
             interpret=(platform == 'cpu'))
     else:
         arrays = bank_device_arrays(bank)
@@ -210,8 +217,12 @@ def _cached_context(seqs, Lpad, maxerrors, minoverlap, backend, platform):
                             dtype_name=dtype, gather_k=gather_k)
 
     def step_acc(codes, rl, acc_bc, acc_sh, acc_sbh, **arrays):
-        bc, sh, sbh = step(codes, rl, **arrays)
-        return acc_bc + bc, acc_sh + sh, acc_sbh + sbh
+        def body(carry, xs):
+            bc, sh, sbh = carry
+            dbc, dsh, dsbh = step(xs[0], xs[1], **arrays)
+            return (bc + dbc, sh + dsh, sbh + dsbh), None
+        carry, _ = lax.scan(body, (acc_bc, acc_sh, acc_sbh), (codes, rl))
+        return carry
 
     return (bank, arrays, jax.jit(step_acc, donate_argnums=(2, 3, 4)),
             sub)
@@ -246,6 +257,11 @@ class TensorScanner:
             # the fused Pallas kernel needs a real TPU; XLA elsewhere
             backend = 'xla' if self.platform == 'cpu' else 'pallas'
         self.backend = backend
+        # sub-batches fused into one device dispatch (lax.scan): amortizes
+        # the dispatch round-trip on networked TPU attachments.  With the
+        # k-mer sieve active (the default) full sub-batches are rare, so
+        # fusing would mostly pad junk; raise for sieve-less bulk scans.
+        self.fuse = int(os.environ.get('KVARQ_FUSE_STEPS', '1'))
         self._ctx = {}
         self.reset()
 
@@ -256,15 +272,16 @@ class TensorScanner:
         for ctx in self._ctx.values():
             ctx['acc'] = None
             ctx['steps'] = 0
+            ctx['pending'] = []
 
     def _context(self, Lpad):
         if Lpad not in self._ctx:
             bank, arrays, step, sub = _cached_context(
                 tuple(self.seqs), Lpad, self.maxerrors, self.minoverlap,
-                self.backend, self.platform)
+                self.backend, self.platform, self.fuse)
             self._ctx[Lpad] = dict(
                 bank=bank, arrays=arrays, sub=sub, step=step,
-                acc=None, steps=0)
+                acc=None, steps=0, pending=[])
         return self._ctx[Lpad]
 
     def _zero_acc(self, ctx):
@@ -273,6 +290,33 @@ class TensorScanner:
                           dtype=jnp.float32),
                 jnp.zeros(self.T + 1, dtype=jnp.int32),
                 jnp.zeros(self.T + 1, dtype=jnp.int32))
+
+    def _dispatch(self, Lpad):
+        ''' stack the pending sub-batches (padding with empty reads up to
+            the fused shape) and run one accumulate-step dispatch '''
+        import jax
+        ctx = self._ctx[Lpad]
+        pending = ctx['pending']
+        if not pending:
+            return
+        sub = ctx['sub']
+        while len(pending) < self.fuse:
+            pending.append((
+                np.full((sub, Lpad), encode.CODE_READ_JUNK, dtype=np.uint8),
+                np.zeros(sub, dtype=np.int32)))
+        codes = np.stack([c for c, _ in pending])
+        rl = np.stack([r for _, r in pending])
+        ctx['pending'] = []
+        if ctx['acc'] is None:
+            ctx['acc'] = self._zero_acc(ctx)
+        # device_put dispatches the upload asynchronously, so the next
+        # batches parse on host while this one transfers + computes
+        ctx['acc'] = ctx['step'](
+            jax.device_put(codes), jax.device_put(rl), *ctx['acc'],
+            **ctx['arrays'])
+        ctx['steps'] += self.fuse
+        if ctx['steps'] >= self.FLUSH_STEPS:
+            self._flush(Lpad)
 
     def _flush(self, Lpad):
         ''' move device accumulators into the exact host-side int64/float64
@@ -290,9 +334,11 @@ class TensorScanner:
         ctx['steps'] = 0
 
     def finalize(self):
-        ''' flush all pending device accumulators; must be called before
-            reading ``seqhits``/``seqbasehits``/:py:meth:`coverages` '''
+        ''' dispatch any buffered sub-batches and flush all device
+            accumulators; must be called before reading
+            ``seqhits``/``seqbasehits``/:py:meth:`coverages` '''
         for Lpad in list(self._ctx):
+            self._dispatch(Lpad)
             self._flush(Lpad)
 
     # the pallas path pads every batch up to this Lpad: one compiled
@@ -316,23 +362,16 @@ class TensorScanner:
         for lo_ in range(0, B, sub):
             hi = min(B, lo_ + sub)
             codes = batch.codes[lo_:hi]
-            rl = batch.rl[lo_:hi]
+            rl = batch.rl[lo_:hi].astype(np.int32)
             if len(codes) < sub:  # pad to the static shape (rl=0 rows gate out)
                 pad = sub - len(codes)
                 codes = np.concatenate(
                     [codes, np.full((pad, Lpad), encode.CODE_READ_JUNK,
                                     dtype=np.uint8)])
                 rl = np.concatenate([rl, np.zeros(pad, dtype=np.int32)])
-            if ctx['acc'] is None:
-                ctx['acc'] = self._zero_acc(ctx)
-            # device_put dispatches the upload asynchronously, so the next
-            # batch parses on host while this one transfers + computes
-            ctx['acc'] = ctx['step'](
-                jax.device_put(codes), jax.device_put(rl), *ctx['acc'],
-                **ctx['arrays'])
-            ctx['steps'] += 1
-            if ctx['steps'] >= self.FLUSH_STEPS:
-                self._flush(Lpad)
+            ctx['pending'].append((codes, rl))
+            if len(ctx['pending']) >= self.fuse:
+                self._dispatch(Lpad)
 
     def coverages(self):
         '''

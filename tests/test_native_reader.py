@@ -98,3 +98,40 @@ def test_multistream_gz(tmp_path):
     (b1, s1), (b2, s2) = both([str(p)])
     assert s1.records_parsed == 5
     assert_equal_batches(b1, b2)
+
+
+def test_sieve_parity():
+    ''' native C sieve (rolling k-mer filter inside kvq_next) keeps exactly
+        the reads the numpy KmerSieve keeps, with identical stats '''
+    from kvarq_tpu.engine.sieve import KmerSieve
+    path = os.path.join(FASTQS, 'L3_N1014_hits_5k.fastq')
+    # templates that really occur in the fixture plus a decoy
+    seqs = [
+        'GAGCATGTGGAGCAACTTGTGGGAGCGCCGGGCAACGCCCTGTCTCTTAT',
+        'TTGACCGATGACCCCGGTTCAGGCTTCACCACAGTGTGGAACGCGGTCG',
+    ]
+    sieve = KmerSieve.build(seqs, 2, 25, 25)
+    assert sieve is not None
+
+    def run(sv):
+        s1, s2 = reader.ReaderStats(), reader.ReaderStats()
+        b1 = list(native.batches([path], 33 + 13, 25, s1, 64, sieve=sv))
+        os.environ['KVARQ_NATIVE'] = '0'
+        try:
+            b2 = list(reader.batches([path], 33 + 13, 25, s2, 64, sieve=sv))
+        finally:
+            os.environ.pop('KVARQ_NATIVE')
+        return (b1, s1), (b2, s2)
+
+    (b1, s1), (b2, s2) = run(sieve)
+    # stats count every parsed record regardless of the sieve
+    assert s1.records_parsed == s2.records_parsed > 0
+    np.testing.assert_array_equal(s1.rls, s2.rls)
+    # same candidate reads survive (batch boundaries may differ)
+    def flat(bs, field):
+        return np.concatenate([getattr(b, field) for b in bs]) \
+            if bs else np.zeros(0)
+    np.testing.assert_array_equal(flat(b1, 'filepos'), flat(b2, 'filepos'))
+    np.testing.assert_array_equal(flat(b1, 'rl'), flat(b2, 'rl'))
+    # and the sieve actually dropped something on this fixture
+    assert flat(b1, 'rl').size < s1.records_parsed
