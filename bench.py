@@ -127,7 +127,7 @@ def main():
     seqs += [c.minus_seq.bases for c in coverages.values()]
 
     engine.config(maxerrors=2, minoverlap=25, minreadlength=25,
-                  Amin=chr(33 + 13))  # CLI defaults (config.py / cli.py)
+                  nthreads=8, Amin=chr(33 + 13))  # CLI defaults (config.py)
 
     if int(os.environ.get('KVARQ_BENCH_WARMUP', '1')):
         # warm the jit caches on a small prefix so compile time is excluded

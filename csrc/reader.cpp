@@ -1,24 +1,33 @@
 // Native FastQ input pipeline: streaming multi-file plain/gzip reader with
-// record parsing, quality trimming, base encoding and live statistics.
+// record parsing, quality trimming, k-mer sieving, base encoding and live
+// statistics -- optionally fanned out over worker threads.
 //
 // TPU-native equivalent of the reference scan engine's host half
 // (csrc/workhorse.c:482-956 gz/file streaming, :1010-1103 record
-// parse/trim in /root/reference): instead of feeding a pthread scan loop,
-// it fills fixed-shape batch buffers (raw bytes, base codes, trimmed
-// lengths, global file offsets) that the Python layer ships to the
-// device matchers.  Semantics -- error messages, first-longest quality
-// run, trailing-partial-record handling, multi-stream gzip, decompressed
-// size estimation -- replicate kvarq_tpu/engine/reader.py exactly (which
-// in turn replicates workhorse.c); tests assert byte-equality of the two
-// pipelines.
+// parse/trim, :1375-1408 pthread fan-out over a mutex-shared stream in
+// /root/reference): instead of feeding a pthread scan loop, workers fill
+// fixed-shape batch buffers (raw bytes, base codes, trimmed lengths,
+// global file offsets) that the Python layer ships to the device
+// matchers.  Semantics -- error messages, first-longest quality run,
+// trailing-partial-record handling, multi-stream gzip, decompressed size
+// estimation -- replicate kvarq_tpu/engine/reader.py exactly (which in
+// turn replicates workhorse.c); tests assert byte-equality of the two
+// pipelines.  Unlike the reference (unordered hit list), batches are
+// emitted in record order regardless of thread count, so results are
+// deterministic.
 //
 // Exposed via a plain C ABI for ctypes (no Python C-API dependency).
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <map>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include <zlib.h>
@@ -27,7 +36,9 @@ namespace {
 
 constexpr int MAX_READLENGTH = 1024;   // histogram cap (workhorse.c:105)
 constexpr size_t CHUNKSIZE = 8u * 1024 * 1024;
+constexpr size_t WORKCHUNK = 1u * 1024 * 1024;  // per work-item span
 constexpr uint8_t CODE_READ_JUNK = 5;  // kvarq_tpu/engine/encode.py
+constexpr int64_t PARSE_CAP = 4 * 262144;  // records per kvq_next call
 
 struct Stream {
     std::string fname;
@@ -43,9 +54,24 @@ struct Stream {
     int64_t produced = 0;       // decompressed bytes yielded
 };
 
+// one record-aligned span of decompressed data plus its processed outputs
+struct CandRec { int32_t rl; int64_t filepos; size_t raw_off; };
+struct WorkItem {
+    uint64_t seq = 0;
+    std::vector<uint8_t> data;  // complete records only
+    int64_t offset = 0;         // global decompressed offset of data[0]
+    std::vector<CandRec> cands;
+    std::vector<uint8_t> raws;  // concatenated trimmed candidate bytes
+    int64_t rls[MAX_READLENGTH] = {};
+    int64_t rls_longest = -1;
+    int64_t nrecords = 0;
+    bool has_error = false;
+    std::string error;
+};
+
 struct Reader {
     std::vector<Stream> streams;
-    size_t cur = 0;
+    size_t cur_stream = 0;
     int amin = 0;
     int minreadlength = 0;
 
@@ -84,6 +110,24 @@ struct Reader {
     int sieve_m = 0;
     int sieve_e = 0;
     int64_t sieve_p5k = 0;   // 5^k
+
+    // worker-thread machinery (nthreads > 1): workers pull record-aligned
+    // spans from the shared stream under in_mtx (the reference's
+    // fastq_read_mutex pattern, workhorse.c:746) and publish processed
+    // items; the consumer (kvq_next) drains them in sequence order
+    int nthreads = 1;
+    std::vector<std::thread> workers;
+    std::mutex in_mtx, out_mtx;
+    std::condition_variable out_cv;
+    std::map<uint64_t, WorkItem*> completed;
+    std::atomic<uint64_t> next_split{0};
+    uint64_t next_consume = 0;
+    std::atomic<bool> stopping{false};
+    std::atomic<bool> split_eof{false};
+    std::atomic<bool> split_failed{false};
+    std::string split_error;        // guarded by in_mtx
+    WorkItem* cur = nullptr;        // partially drained item
+    size_t cur_i = 0;
 };
 
 void update_total(Reader* r) {
@@ -169,7 +213,8 @@ long stream_read(Reader* r, Stream& s, uint8_t* out, size_t want) {
 }
 
 // pull the next chunk into r->buf (after the unparsed leftover);
-// returns bytes added, 0 at global EOF, -1 error
+// returns bytes added, 0 at global EOF, -1 error.
+// Caller must hold in_mtx in threaded mode.
 long fill_buf(Reader* r) {
     // drop parsed prefix, keep leftover
     if (r->buf_pos) {
@@ -177,8 +222,8 @@ long fill_buf(Reader* r) {
         r->buf_offset += (int64_t)r->buf_pos;
         r->buf_pos = 0;
     }
-    while (r->cur < r->streams.size()) {
-        Stream& s = r->streams[r->cur];
+    while (r->cur_stream < r->streams.size()) {
+        Stream& s = r->streams[r->cur_stream];
         if (!s.f && !open_stream(r, s)) return -1;
         size_t old = r->buf.size();
         r->buf.resize(old + CHUNKSIZE);
@@ -187,10 +232,10 @@ long fill_buf(Reader* r) {
         r->buf.resize(old + (size_t)n);
         if (n == 0) {
             // exact size once the file is fully read
-            r->est[r->cur] = s.produced;
+            r->est[r->cur_stream] = s.produced;
             update_total(r);
             close_stream(s);
-            r->cur++;
+            r->cur_stream++;
             continue;
         }
         if (s.is_gz && s.fsize > 0) {
@@ -200,7 +245,7 @@ long fill_buf(Reader* r) {
             if (frac > 1.0) frac = 1.0;
             if (frac > 1e-9) {
                 int64_t e = (int64_t)((double)s.produced / frac);
-                r->est[r->cur] = e > s.produced ? e : s.produced;
+                r->est[r->cur_stream] = e > s.produced ? e : s.produced;
             }
             update_total(r);
         }
@@ -213,12 +258,323 @@ long fill_buf(Reader* r) {
     return 0;
 }
 
+// Parse sanity checks + quality trim + sieve for the record whose four
+// line-end newlines are nls[0..3] within `b` (record starts at `p`);
+// `base_off` is the global decompressed offset of b[0].  Histogram
+// updates go to rls / rls_longest (caller-owned).
+// Returns 1 = emit read (sets *rl_out / *bs_out), 0 = drop,
+// -1 = format error (sets *err).
+int handle_record(const Reader* r, const uint8_t* b, size_t p,
+                  const size_t nls[4], int64_t base_off,
+                  int64_t* rls, int64_t* rls_longest,
+                  int* rl_out, size_t* bs_out, std::string* err) {
+    if (b[p] != '@') {
+        char msg[96];
+        std::snprintf(msg, sizeof(msg),
+                      "record must start with '@' (and not '%c') "
+                      "fpos=%lld", b[p],
+                      (long long)(base_off + (int64_t)p));
+        *err = msg;
+        return -1;
+    }
+    size_t plus = nls[1] + 1;
+    if (b[plus] != '+') {
+        char msg[96];
+        std::snprintf(msg, sizeof(msg),
+                      "3rd line of record must start with '+' fpos=%lld",
+                      (long long)(base_off + (int64_t)plus));
+        *err = msg;
+        return -1;
+    }
+
+    // quality trim: first-longest run of bytes >= amin in the quality
+    // line (workhorse.c:1055-1070); CR before LF breaks the run since
+    // '\r' < any sane amin -- matched by byte comparison either way
+    const int amin = r->amin;
+    size_t qs = nls[2] + 1, qe = nls[3];
+    int best = 0, best_off = 0, run = 0;
+    for (size_t i = qs; i < qe; i++) {
+        if (b[i] >= amin) {
+            run++;
+            if (run > best) { best = run; best_off = (int)(i + 1 - run - qs); }
+        } else {
+            run = 0;
+        }
+    }
+    int rl = best;
+
+    // histogram counts every record, incl. discarded ones
+    int hrl = rl < MAX_READLENGTH ? rl : MAX_READLENGTH - 1;
+    rls[hrl]++;
+    if (rl > *rls_longest) *rls_longest = rl;
+
+    if (rl < r->minreadlength || rl <= 0)
+        return 0;
+
+    size_t bs = nls[0] + 1 + (size_t)best_off;  // trimmed read start
+
+    if (r->sieve_start && rl >= r->sieve_k) {
+        // three-stage seed-and-verify filter; must keep exactly the
+        // reads kvarq_tpu.engine.sieve.KmerSieve.candidates keeps (the
+        // numpy oracle; tests assert read-for-read parity).  Junk bytes
+        // (anything outside ACGTN) reset the rolling window.
+        const uint8_t* rp = b + bs;
+        const int64_t p5k1 = r->sieve_p5k / 5;  // 5^(k-1)
+        const int k = r->sieve_k;
+        const int t = r->sieve_t;
+        constexpr int MAX_SEEDS = 256;
+        int32_t diags[MAX_SEEDS];
+        int32_t tids[MAX_SEEDS];
+        int16_t counts[MAX_SEEDS];
+        int nseeds = 0;
+        int64_t kcode = 0;
+        int krun = 0;
+        bool cand = false;
+        for (int i = 0; i < rl && !cand; i++) {
+            uint8_t c = r->code_of[rp[i]];
+            if (c >= 5) { krun = 0; kcode = 0; continue; }
+            // rolling base-5 window code: drop the oldest digit (re-read
+            // from rp; L1-hot) instead of a runtime-divisor modulo,
+            // which costs a hardware DIV per window
+            if (krun >= k)
+                kcode -= (int64_t)r->code_of[rp[i - k]] * p5k1;
+            kcode = kcode * 5 + c;
+            if (++krun < k) continue;
+            // stage 1: cache-resident presence bit
+            if (!(r->sieve_present[(size_t)kcode >> 6]
+                  >> (kcode & 63) & 1))
+                continue;
+            const int wpos = i + 1 - k;  // window start in read
+            for (int32_t j = r->sieve_start[kcode];
+                 j < r->sieve_start[kcode + 1] && !cand; j++) {
+                const int32_t diag = r->sieve_gpos[j] - wpos;
+                const int32_t tid = r->sieve_gtid[j];
+                int s = 0;
+                for (; s < nseeds; s++)
+                    if (diags[s] == diag && tids[s] == tid) break;
+                if (s == nseeds) {
+                    if (nseeds == MAX_SEEDS) {  // overflow:
+                        cand = true;            // keep (conservative)
+                        break;
+                    }
+                    diags[s] = diag; tids[s] = tid; counts[s] = 0;
+                    nseeds++;
+                }
+                // stage 2: t seeds on one (diagonal, template)
+                if (++counts[s] != t) continue;
+                // stage 3: exact overlap check at this diagonal
+                int64_t lo2 = r->sieve_tstart[tid];
+                if (diag > lo2) lo2 = diag;
+                int64_t hi2 = r->sieve_tstop[tid];
+                if (diag + rl < hi2) hi2 = diag + rl;
+                if (hi2 - lo2 < r->sieve_m) { counts[s] = -32000; continue; }
+                int mism = 0;
+                bool pass = true;
+                for (int64_t g2 = lo2; g2 < hi2; g2++) {
+                    if (r->sieve_bank[g2] != r->code_of[rp[g2 - diag]]
+                        && ++mism > r->sieve_e) {
+                        pass = false;
+                        break;
+                    }
+                }
+                if (pass) cand = true;
+                else counts[s] = -32000;  // verified dead
+            }
+        }
+        if (!cand) return 0;
+    }
+
+    *rl_out = rl;
+    *bs_out = bs;
+    return 1;
+}
+
+// ---- worker-thread machinery ------------------------------------------
+
+// pull the next record-aligned span from the shared stream (the
+// reference's mutex-guarded fastq_read + fastq_rewind, workhorse.c:746,
+// :696-718 -- but via exact 4-newline counting instead of the rewind
+// heuristic).  Returns nullptr at EOF / error / stop.
+WorkItem* pull_work(Reader* r) {
+    std::unique_lock<std::mutex> l(r->in_mtx);
+    for (;;) {
+        if (r->stopping || r->split_failed || r->split_eof) return nullptr;
+        size_t avail = r->buf.size() - r->buf_pos;
+        if (avail < WORKCHUNK && !r->at_eof) {
+            if (fill_buf(r) < 0) {
+                r->split_error = r->error;
+                r->split_failed = true;
+                r->out_cv.notify_all();
+                return nullptr;
+            }
+            continue;
+        }
+        // find the end of the last complete record (every 4th newline)
+        const uint8_t* base = r->buf.data();
+        size_t scan_end = r->buf_pos +
+            (avail < WORKCHUNK ? avail : WORKCHUNK);
+        size_t last_rec_end = 0;
+        int nl_count = 0;
+        for (size_t q = r->buf_pos; ; ) {
+            const void* nl = std::memchr(base + q, '\n', scan_end - q);
+            if (!nl) {
+                if (scan_end < r->buf_pos + avail && last_rec_end == 0) {
+                    // record longer than the window: widen
+                    scan_end = r->buf_pos + avail;
+                    continue;
+                }
+                break;
+            }
+            q = (const uint8_t*)nl - base + 1;
+            if (++nl_count % 4 == 0) last_rec_end = q;
+        }
+        if (last_rec_end == 0) {
+            if (!r->at_eof) {      // need more data for one record
+                if (fill_buf(r) < 0) {
+                    r->split_error = r->error;
+                    r->split_failed = true;
+                    r->out_cv.notify_all();
+                    return nullptr;
+                }
+                continue;
+            }
+            // trailing data without a full record is silently dropped
+            // (workhorse.c:1032-1034)
+            r->split_eof = true;
+            r->out_cv.notify_all();
+            return nullptr;
+        }
+        WorkItem* it = new WorkItem();
+        it->seq = r->next_split++;
+        it->offset = r->buf_offset + (int64_t)r->buf_pos;
+        it->data.assign(base + r->buf_pos, base + last_rec_end);
+        r->buf_pos = last_rec_end;
+        return it;
+    }
+}
+
+// parse + trim + sieve every record of the item into its local outputs
+void process_item(Reader* r, WorkItem* it) {
+    const uint8_t* b = it->data.data();
+    const size_t len = it->data.size();
+    size_t p = 0;
+    while (p < len) {
+        size_t nls[4];
+        size_t q = p;
+        for (int got = 0; got < 4; got++) {
+            const void* nl = std::memchr(b + q, '\n', len - q);
+            nls[got] = (const uint8_t*)nl - b;   // item spans are aligned
+            q = nls[got] + 1;
+        }
+        int rl = 0;
+        size_t bs = 0;
+        int ret = handle_record(r, b, p, nls, it->offset,
+                                it->rls, &it->rls_longest,
+                                &rl, &bs, &it->error);
+        if (ret < 0) {
+            it->has_error = true;
+            return;
+        }
+        it->nrecords++;
+        if (ret > 0) {
+            it->cands.push_back(CandRec{
+                rl, it->offset + (int64_t)bs, it->raws.size()});
+            it->raws.insert(it->raws.end(), b + bs, b + bs + rl);
+        }
+        p = nls[3] + 1;
+    }
+}
+
+void worker_main(Reader* r) {
+    for (;;) {
+        WorkItem* it = pull_work(r);
+        if (!it) return;
+        process_item(r, it);
+        {
+            std::lock_guard<std::mutex> l(r->out_mtx);
+            r->completed[it->seq] = it;
+        }
+        r->out_cv.notify_all();
+    }
+}
+
+// threaded kvq_next: drain processed items in sequence order
+long next_threaded(Reader* r, long cap, long lmax, uint8_t* raw,
+                   uint8_t* codes, int32_t* rl_out, int64_t* filepos,
+                   int32_t* batch_maxrl) {
+    long out = 0;
+    int maxrl = 0;
+    int64_t consumed = 0;
+
+    while (out < cap) {
+        if (!r->cur) {
+            std::unique_lock<std::mutex> l(r->out_mtx);
+            for (;;) {
+                auto f = r->completed.find(r->next_consume);
+                if (f != r->completed.end()) {
+                    r->cur = f->second;
+                    r->cur_i = 0;
+                    r->completed.erase(f);
+                    break;
+                }
+                if ((r->split_eof || r->split_failed)
+                        && r->next_consume == r->next_split) {
+                    if (r->split_failed) {
+                        std::lock_guard<std::mutex> li(r->in_mtx);
+                        r->error = r->split_error;
+                        *batch_maxrl = maxrl;
+                        return -1;
+                    }
+                    *batch_maxrl = maxrl;
+                    return out;   // true EOF
+                }
+                r->out_cv.wait(l);
+            }
+            // merge the item's stats in record order
+            r->records_parsed = r->records_parsed + r->cur->nrecords;
+            for (int i = 0; i < MAX_READLENGTH; i++)
+                r->rls[i] += r->cur->rls[i];
+            if (r->cur->rls_longest > r->rls_longest)
+                r->rls_longest = r->cur->rls_longest;
+            consumed += r->cur->nrecords;
+        }
+        WorkItem* it = r->cur;
+        while (out < cap && r->cur_i < it->cands.size()) {
+            const CandRec& c = it->cands[r->cur_i];
+            if (c.rl > lmax) {
+                r->error = "read longer than buffer stride";
+                return -1;
+            }
+            uint8_t* rrow = raw + out * lmax;
+            uint8_t* crow = codes + out * lmax;
+            std::memcpy(rrow, it->raws.data() + c.raw_off, (size_t)c.rl);
+            for (int i = 0; i < c.rl; i++) crow[i] = r->code_of[rrow[i]];
+            rl_out[out] = c.rl;
+            filepos[out] = c.filepos;
+            if (c.rl > maxrl) maxrl = c.rl;
+            out++;
+            r->cur_i++;
+        }
+        if (r->cur_i >= it->cands.size()) {
+            bool had_error = it->has_error;
+            if (had_error) r->error = it->error;
+            delete it;
+            r->cur = nullptr;
+            r->next_consume++;
+            if (had_error) return -1;
+            if (consumed >= PARSE_CAP && out > 0) break;
+        }
+    }
+    *batch_maxrl = maxrl;
+    return out;
+}
+
 }  // namespace
 
 extern "C" {
 
 Reader* kvq_open(const char** fnames, int nfiles, int amin,
-                 int minreadlength) {
+                 int minreadlength, int nthreads) {
     Reader* r = new Reader();
     r->amin = amin;
     r->minreadlength = minreadlength;
@@ -242,6 +598,9 @@ Reader* kvq_open(const char** fnames, int nfiles, int amin,
     std::memset(r->code_of, CODE_READ_JUNK, sizeof(r->code_of));
     r->code_of['A'] = 0; r->code_of['C'] = 1; r->code_of['G'] = 2;
     r->code_of['T'] = 3; r->code_of['N'] = 4;
+    if (nthreads > 16) nthreads = 16;
+    if (nthreads < 1) nthreads = 1;
+    r->nthreads = nthreads;
     return r;
 }
 
@@ -253,7 +612,7 @@ const char* kvq_error(Reader* r) { return r->error.c_str(); }
 // coords; `bank` the concatenated template codes.  A read survives iff
 // some (diagonal, template) collects `t` exact seeds AND the actual
 // overlap there has length >= m with <= e mismatches.  Caller keeps all
-// arrays alive until kvq_close.
+// arrays alive until kvq_close.  Call before the first kvq_next.
 void kvq_set_sieve(Reader* r, const int32_t* start, const int32_t* gpos,
                    const int32_t* gtid, const int32_t* tstart,
                    const int32_t* tstop, const uint8_t* bank,
@@ -290,14 +649,20 @@ void kvq_stats(Reader* r, int64_t* records_parsed, int64_t* parsed,
 // should be MAX_READLENGTH).  Returns #records (0 = EOF), -1 = error.
 long kvq_next(Reader* r, long cap, long lmax, uint8_t* raw, uint8_t* codes,
               int32_t* rl_out, int64_t* filepos, int32_t* batch_maxrl) {
+    if (r->nthreads > 1) {
+        if (r->workers.empty() && !r->split_eof && !r->split_failed)
+            for (int i = 0; i < r->nthreads; i++)
+                r->workers.emplace_back(worker_main, r);
+        return next_threaded(r, cap, lmax, raw, codes, rl_out, filepos,
+                             batch_maxrl);
+    }
+
     long out = 0;
     int maxrl = 0;
-    const int amin = r->amin;
-    const int minrl = r->minreadlength;
     // with the sieve active one call could otherwise consume the whole
     // file; cap the records parsed per call (once something was emitted)
     // so live stats / stop() stay responsive
-    const int64_t parse_cap = r->records_parsed + 4 * 262144;
+    const int64_t parse_cap = r->records_parsed + PARSE_CAP;
 
     while (out < cap) {
         if (out > 0 && r->records_parsed >= parse_cap) break;
@@ -326,123 +691,15 @@ long kvq_next(Reader* r, long cap, long lmax, uint8_t* raw, uint8_t* codes,
             break;
         }
 
-        if (b[p] != '@') {
-            char msg[96];
-            std::snprintf(msg, sizeof(msg),
-                          "record must start with '@' (and not '%c') "
-                          "fpos=%lld", b[p],
-                          (long long)(r->buf_offset + (int64_t)p));
-            r->error = msg;
-            return -1;
-        }
-        size_t plus = nls[1] + 1;
-        if (b[plus] != '+') {
-            char msg[96];
-            std::snprintf(msg, sizeof(msg),
-                          "3rd line of record must start with '+' fpos=%lld",
-                          (long long)(r->buf_offset + (int64_t)plus));
-            r->error = msg;
-            return -1;
-        }
-
-        // quality trim: first-longest run of bytes >= amin in the quality
-        // line (workhorse.c:1055-1070); CR before LF breaks the run since
-        // '\r' < any sane amin -- matched by byte comparison either way
-        size_t qs = nls[2] + 1, qe = nls[3];
-        int best = 0, best_off = 0, run = 0;
-        for (size_t i = qs; i < qe; i++) {
-            if (b[i] >= amin) {
-                run++;
-                if (run > best) { best = run; best_off = (int)(i + 1 - run - qs); }
-            } else {
-                run = 0;
-            }
-        }
-        int rl = best;
-
-        // histogram counts every record, incl. discarded ones
-        int hrl = rl < MAX_READLENGTH ? rl : MAX_READLENGTH - 1;
-        r->rls[hrl]++;
-        if (rl > r->rls_longest) r->rls_longest = rl;
+        int rl = 0;
+        size_t bs = 0;
+        int64_t rls_longest = r->rls_longest;
+        int ret = handle_record(r, b, p, nls, r->buf_offset,
+                                r->rls, &rls_longest, &rl, &bs, &r->error);
+        r->rls_longest = rls_longest;
+        if (ret < 0) return -1;
         r->records_parsed = r->records_parsed + 1;
-
-        if (rl >= minrl && rl > 0) {
-            if (rl > lmax) {
-                r->error = "read longer than buffer stride";
-                return -1;
-            }
-            size_t bs = nls[0] + 1 + (size_t)best_off;  // trimmed read start
-
-            if (r->sieve_start && rl >= r->sieve_k) {
-                // three-stage seed-and-verify filter; must keep exactly
-                // the reads kvarq_tpu.engine.sieve.KmerSieve.candidates
-                // keeps (the numpy oracle; tests assert read-for-read
-                // parity).  Junk bytes (anything outside ACGTN) reset
-                // the rolling window.
-                const uint8_t* p = b + bs;
-                const int64_t p5k = r->sieve_p5k;
-                const int k = r->sieve_k;
-                const int t = r->sieve_t;
-                constexpr int MAX_SEEDS = 256;
-                int32_t diags[MAX_SEEDS];
-                int32_t tids[MAX_SEEDS];
-                int16_t counts[MAX_SEEDS];
-                int nseeds = 0;
-                int64_t kcode = 0;
-                int run = 0;
-                bool cand = false;
-                for (int i = 0; i < rl && !cand; i++) {
-                    uint8_t c = r->code_of[p[i]];
-                    if (c >= 5) { run = 0; kcode = 0; continue; }
-                    kcode = (kcode * 5 + c) % p5k;
-                    if (++run < k) continue;
-                    // stage 1: cache-resident presence bit
-                    if (!(r->sieve_present[(size_t)kcode >> 6]
-                          >> (kcode & 63) & 1))
-                        continue;
-                    const int wpos = i + 1 - k;  // window start in read
-                    for (int32_t j = r->sieve_start[kcode];
-                         j < r->sieve_start[kcode + 1] && !cand; j++) {
-                        const int32_t diag = r->sieve_gpos[j] - wpos;
-                        const int32_t tid = r->sieve_gtid[j];
-                        int s = 0;
-                        for (; s < nseeds; s++)
-                            if (diags[s] == diag && tids[s] == tid) break;
-                        if (s == nseeds) {
-                            if (nseeds == MAX_SEEDS) {  // overflow:
-                                cand = true;            // keep (conservative)
-                                break;
-                            }
-                            diags[s] = diag; tids[s] = tid; counts[s] = 0;
-                            nseeds++;
-                        }
-                        // stage 2: t seeds on one (diagonal, template)
-                        if (++counts[s] != t) continue;
-                        // stage 3: exact overlap check at this diagonal
-                        int64_t lo2 = r->sieve_tstart[tid];
-                        if (diag > lo2) lo2 = diag;
-                        int64_t hi2 = r->sieve_tstop[tid];
-                        if (diag + rl < hi2) hi2 = diag + rl;
-                        if (hi2 - lo2 < r->sieve_m) { counts[s] = -32000; continue; }
-                        int mism = 0;
-                        bool pass = true;
-                        for (int64_t g2 = lo2; g2 < hi2; g2++) {
-                            if (r->sieve_bank[g2]
-                                != r->code_of[p[g2 - diag]]
-                                && ++mism > r->sieve_e) {
-                                pass = false;
-                                break;
-                            }
-                        }
-                        if (pass) cand = true;
-                        else counts[s] = -32000;  // verified dead
-                    }
-                }
-                if (!cand) { r->buf_pos = nls[3] + 1; continue; }
-            }
-
-            // rows are filled only up to rl; the Python side pads the
-            // (much narrower) length-bucketed slice vectorized
+        if (ret > 0) {
             uint8_t* rrow = raw + out * lmax;
             uint8_t* crow = codes + out * lmax;
             std::memcpy(rrow, b + bs, (size_t)rl);
@@ -459,6 +716,10 @@ long kvq_next(Reader* r, long cap, long lmax, uint8_t* raw, uint8_t* codes,
 }
 
 void kvq_close(Reader* r) {
+    r->stopping = true;
+    for (auto& w : r->workers) w.join();
+    for (auto& kv : r->completed) delete kv.second;
+    delete r->cur;
     for (auto& s : r->streams) close_stream(s);
     delete r;
 }

@@ -228,7 +228,8 @@ def findseqs(fname, seqs):
                     fnames, Amin, _config['minreadlength'], _stats,
                     batchsize=_extra_config['batchsize'],
                     stop_check=lambda: _stop,
-                    sieve=sieve if matcher is not None else None)):
+                    sieve=sieve if matcher is not None else None,
+                    nthreads=_config['nthreads'])):
                 if matcher is None:
                     continue
                 triplets = matcher.match_batch(batch)
@@ -289,7 +290,8 @@ def countseqs(fname, seqs):
                     fnames, Amin, _config['minreadlength'], _stats,
                     batchsize=_extra_config['batchsize'],
                     stop_check=lambda: _stop,
-                    sieve=sieve if scanner is not None else None)):
+                    sieve=sieve if scanner is not None else None,
+                    nthreads=_config['nthreads'])):
                 if scanner is None:
                     continue
                 scanner.scan_batch(batch)

@@ -34,7 +34,7 @@ _lib_failed = False
 
 
 def _build():
-    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC',
+    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC', '-pthread',
            '-o', LIB, SRC, '-lz']
     lo.info('building native reader: %s' % ' '.join(cmd))
     subprocess.run(cmd, check=True, capture_output=True)
@@ -62,7 +62,8 @@ def get_lib():
 
         lib.kvq_open.restype = ctypes.c_void_p
         lib.kvq_open.argtypes = [ctypes.POINTER(ctypes.c_char_p),
-                                 ctypes.c_int, ctypes.c_int, ctypes.c_int]
+                                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                 ctypes.c_int]
         lib.kvq_error.restype = ctypes.c_char_p
         lib.kvq_error.argtypes = [ctypes.c_void_p]
         lib.kvq_stats.argtypes = [ctypes.c_void_p] + \
@@ -96,16 +97,20 @@ def available():
 
 
 def batches(fnames, Amin, minreadlength, stats, batchsize=16384,
-            stop_check=None, sieve=None):
+            stop_check=None, sieve=None, nthreads=1):
     ''' generator over reader.RecordBatch, same contract as
         reader.batches() but backed by the native pipeline.  With a
         ``sieve`` (kvarq_tpu.engine.sieve.KmerSieve), provably hit-free
         reads are dropped at parse time inside the C loop -- every yielded
-        batch is full of candidate reads '''
+        batch is full of candidate reads.  ``nthreads`` > 1 fans the
+        parse/trim/sieve work out over C worker threads pulling
+        record-aligned spans from the shared stream (the reference's
+        pthread architecture, workhorse.c:1375-1408), with batches still
+        emitted in deterministic record order '''
     lib = get_lib()
     names = (ctypes.c_char_p * len(fnames))(
         *[f.encode() for f in fnames])
-    h = lib.kvq_open(names, len(fnames), Amin, minreadlength)
+    h = lib.kvq_open(names, len(fnames), Amin, minreadlength, nthreads)
     if sieve is not None:
         # the C side keeps pointers; hold the arrays until kvq_close
         sieve_arrays = [

@@ -210,7 +210,7 @@ def parse_records(buf, global_offset, Amin, stats, at_eof):
 
 
 def batches(fnames, Amin, minreadlength, stats, batchsize=4096,
-            stop_check=None, sieve=None):
+            stop_check=None, sieve=None, nthreads=1):
     '''
     generator over :py:class:`RecordBatch` es for the given files.
 
@@ -223,6 +223,9 @@ def batches(fnames, Amin, minreadlength, stats, batchsize=4096,
         filter runs inside the C parse loop, so batches stay full of
         candidate reads; here it subsets each built batch (slower, the
         byte-exact oracle).
+    :param nthreads: native-pipeline parse/trim/sieve worker threads
+        (reference ``nthreads``, workhorse.c:74); output is deterministic
+        regardless.  The numpy fallback ignores it.
 
     Dispatches to the native C++ pipeline (csrc/reader.cpp) when it is
     available; the numpy implementation below is the byte-exact fallback
@@ -232,7 +235,8 @@ def batches(fnames, Amin, minreadlength, stats, batchsize=4096,
         from kvarq_tpu.engine import native
         if native.available():
             yield from native.batches(fnames, Amin, minreadlength, stats,
-                                      batchsize, stop_check, sieve)
+                                      batchsize, stop_check, sieve,
+                                      nthreads)
             return
     if sieve is not None:
         for batch in batches(fnames, Amin, minreadlength, stats,

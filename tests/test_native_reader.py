@@ -135,3 +135,47 @@ def test_sieve_parity():
     np.testing.assert_array_equal(flat(b1, 'rl'), flat(b2, 'rl'))
     # and the sieve actually dropped something on this fixture
     assert flat(b1, 'rl').size < s1.records_parsed
+
+
+@pytest.mark.parametrize('nthreads', [2, 4])
+def test_threaded_parity(nthreads):
+    ''' the threaded native pipeline (worker fan-out over the shared
+        stream, csrc/reader.cpp) must produce byte-identical batches and
+        stats to the single-threaded one, in the same order '''
+    from kvarq_tpu.engine.sieve import KmerSieve
+    path = os.path.join(FASTQS, 'L3_N1014_hits_5k.fastq')
+    for sieve in (None, KmerSieve.build(
+            ['GAGCATGTGGAGCAACTTGTGGGAGCGCCGGGCAACGCCCTGTCTCTTAT'],
+            2, 25, 25)):
+        s1, s2 = reader.ReaderStats(), reader.ReaderStats()
+        b1 = list(native.batches([path], 33 + 13, 25, s1, 64,
+                                 sieve=sieve, nthreads=1))
+        b2 = list(native.batches([path], 33 + 13, 25, s2, 64,
+                                 sieve=sieve, nthreads=nthreads))
+        assert_equal_batches(b1, b2)
+        assert s1.records_parsed == s2.records_parsed
+        assert s1.rls_longest == s2.rls_longest
+        np.testing.assert_array_equal(s1.rls, s2.rls)
+
+
+def test_threaded_gz_multifile():
+    fnames = [os.path.join(FASTQS, 'test_engine_1.fastq.gz'),
+              os.path.join(FASTQS, 'test_engine_2.fastq.gz')]
+    s1, s2 = reader.ReaderStats(), reader.ReaderStats()
+    b1 = list(native.batches(fnames, ord('!'), 3, s1, 8, nthreads=1))
+    b2 = list(native.batches(fnames, ord('!'), 3, s2, 8, nthreads=3))
+    assert_equal_batches(b1, b2)
+    assert s1.records_parsed == s2.records_parsed
+
+
+def test_threaded_error_parity(tmp_path):
+    bad = tmp_path / 'bad.fastq'
+    # one good record, then a malformed one
+    bad.write_text('@r1\nACGT\n+\nIIII\n@r2\nACGT\nXIII\nIIII\n')
+    with pytest.raises(reader.FastqFormatError) as e1:
+        list(native.batches([str(bad)], ord('!'), 1,
+                            reader.ReaderStats(), 16, nthreads=1))
+    with pytest.raises(reader.FastqFormatError) as e2:
+        list(native.batches([str(bad)], ord('!'), 1,
+                            reader.ReaderStats(), 16, nthreads=2))
+    assert str(e1.value) == str(e2.value)
