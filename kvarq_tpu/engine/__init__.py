@@ -154,6 +154,8 @@ def _make_matcher(seqs, backend):
 
 def _auto_backend():
     try:
+        from kvarq_tpu.jaxutil import ensure_compilation_cache
+        ensure_compilation_cache()
         import jax
         platform = jax.default_backend()
     except Exception:

@@ -196,7 +196,11 @@ def _cached_context(seqs, Lpad, maxerrors, minoverlap, backend, platform,
     device compute, so batching dispatches is worth ~2x end-to-end.
     '''
     import jax
+
     from jax import lax
+
+    from kvarq_tpu.jaxutil import ensure_compilation_cache
+    ensure_compilation_cache()
 
     bank = build_bank(list(seqs), Lpad, minoverlap)
     T = len(seqs)
