@@ -38,7 +38,11 @@ constexpr int MAX_READLENGTH = 1024;   // histogram cap (workhorse.c:105)
 constexpr size_t CHUNKSIZE = 8u * 1024 * 1024;
 constexpr size_t WORKCHUNK = 1u * 1024 * 1024;  // per work-item span
 constexpr uint8_t CODE_READ_JUNK = 5;  // kvarq_tpu/engine/encode.py
-constexpr int64_t PARSE_CAP = 4 * 262144;  // records per kvq_next call
+// records per kvq_next call: bounds live-stats/stop() latency.  Kept
+// large: on networked TPU attachments every device dispatch costs a
+// fixed ~30-90 ms regardless of batch size, so fewer/fuller candidate
+// batches beat finer-grained reader/device overlap (measured).
+constexpr int64_t PARSE_CAP = 4 * 262144;
 
 struct Stream {
     std::string fname;
