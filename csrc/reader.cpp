@@ -109,11 +109,19 @@ struct Reader {
     const int32_t* sieve_tstop = nullptr;
     const uint8_t* sieve_bank = nullptr;
     std::vector<uint64_t> sieve_present;
+    // L1-resident fast path: presence bits keyed by the 2-bit (ACGT)
+    // window code for k <= 16.  A window without N can only match a
+    // bank k-mer without N, so the 2-bit map is exact for such windows;
+    // windows containing N (rare) take the base-5 slow path.
+    std::vector<uint64_t> sieve_present2;
     int sieve_k = 0;
     int sieve_t = 0;
     int sieve_m = 0;
     int sieve_e = 0;
     int64_t sieve_p5k = 0;   // 5^k
+    uint32_t sieve_mask2 = 0;  // (1 << 2k) - 1
+    // 2-bit-code -> base-5-code conversion, 4 digits per byte
+    int64_t conv5[3][256];
 
     // worker-thread machinery (nthreads > 1): workers pull record-aligned
     // spans from the shared stream under in_mtx (the reference's
@@ -262,6 +270,27 @@ long fill_buf(Reader* r) {
     return 0;
 }
 
+// SWAR scan: index of the first byte < amin in q[0..n), or n if none.
+// Valid for amin <= 127 (ASCII quality cutoffs always are); bytes >= 128
+// compare as "not less", matching the uint8 comparison used throughout.
+inline size_t first_below(const uint8_t* q, size_t n, uint8_t amin) {
+    const uint64_t am = 0x0101010101010101ull * amin;
+    const uint64_t hi = 0x8080808080808080ull;
+    size_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+        uint64_t x;
+        std::memcpy(&x, q + i, 8);
+        uint64_t lt = (x - am) & ~x & hi;   // high bit set per byte < amin
+        if (lt) {
+            // lowest such byte
+            return i + (size_t)(__builtin_ctzll(lt) >> 3);
+        }
+    }
+    for (; i < n; i++)
+        if (q[i] < amin) return i;
+    return n;
+}
+
 // Parse sanity checks + quality trim + sieve for the record whose four
 // line-end newlines are nls[0..3] within `b` (record starts at `p`);
 // `base_off` is the global decompressed offset of b[0].  Histogram
@@ -293,11 +322,14 @@ int handle_record(const Reader* r, const uint8_t* b, size_t p,
 
     // quality trim: first-longest run of bytes >= amin in the quality
     // line (workhorse.c:1055-1070); CR before LF breaks the run since
-    // '\r' < any sane amin -- matched by byte comparison either way
+    // '\r' < any sane amin -- matched by byte comparison either way.
+    // SWAR fast path: most lines pass entirely, and the prefix run up to
+    // the first failing byte is the first candidate for "longest".
     const int amin = r->amin;
     size_t qs = nls[2] + 1, qe = nls[3];
-    int best = 0, best_off = 0, run = 0;
-    for (size_t i = qs; i < qe; i++) {
+    size_t f = first_below(b + qs, qe - qs, (uint8_t)amin);
+    int best = (int)f, best_off = 0, run = 0;
+    for (size_t i = qs + f + 1; i < qe; i++) {
         if (b[i] >= amin) {
             run++;
             if (run > best) { best = run; best_off = (int)(i + 1 - run - qs); }
@@ -323,31 +355,43 @@ int handle_record(const Reader* r, const uint8_t* b, size_t p,
         // numpy oracle; tests assert read-for-read parity).  Junk bytes
         // (anything outside ACGTN) reset the rolling window.
         const uint8_t* rp = b + bs;
-        const int64_t p5k1 = r->sieve_p5k / 5;  // 5^(k-1)
         const int k = r->sieve_k;
         const int t = r->sieve_t;
+        const uint32_t mask2 = r->sieve_mask2;
         constexpr int MAX_SEEDS = 256;
         int32_t diags[MAX_SEEDS];
         int32_t tids[MAX_SEEDS];
         int16_t counts[MAX_SEEDS];
         int nseeds = 0;
-        int64_t kcode = 0;
-        int krun = 0;
+        uint32_t kcode2 = 0;   // rolling 2-bit (ACGT) window code
+        int krun = 0;          // non-junk run length
+        int krun4 = 0;         // ACGT-only run length
         bool cand = false;
         for (int i = 0; i < rl && !cand; i++) {
             uint8_t c = r->code_of[rp[i]];
-            if (c >= 5) { krun = 0; kcode = 0; continue; }
-            // rolling base-5 window code: drop the oldest digit (re-read
-            // from rp; L1-hot) instead of a runtime-divisor modulo,
-            // which costs a hardware DIV per window
-            if (krun >= k)
-                kcode -= (int64_t)r->code_of[rp[i - k]] * p5k1;
-            kcode = kcode * 5 + c;
+            if (c >= 5) { krun = 0; krun4 = 0; continue; }
+            if (c < 4) { kcode2 = ((kcode2 << 2) | c) & mask2; krun4++; }
+            else { krun4 = 0; }
             if (++krun < k) continue;
-            // stage 1: cache-resident presence bit
-            if (!(r->sieve_present[(size_t)kcode >> 6]
-                  >> (kcode & 63) & 1))
-                continue;
+            // stage 1: presence bit.  N-free windows (the norm) hit the
+            // tiny 4^k-bit map (L1-resident at k=8); windows containing
+            // N fall back to the base-5 map.
+            int64_t kcode;
+            if (krun4 >= k) {
+                if (!(r->sieve_present2[kcode2 >> 6]
+                      >> (kcode2 & 63) & 1))
+                    continue;
+                kcode = r->conv5[0][kcode2 & 0xFF]
+                      + r->conv5[1][(kcode2 >> 8) & 0xFF]
+                      + r->conv5[2][(kcode2 >> 16) & 0xFF];
+            } else {
+                kcode = 0;
+                for (int j = i + 1 - k; j <= i; j++)
+                    kcode = kcode * 5 + r->code_of[rp[j]];
+                if (!(r->sieve_present[(size_t)kcode >> 6]
+                      >> (kcode & 63) & 1))
+                    continue;
+            }
             const int wpos = i + 1 - k;  // window start in read
             for (int32_t j = r->sieve_start[kcode];
                  j < r->sieve_start[kcode + 1] && !cand; j++) {
@@ -633,10 +677,40 @@ void kvq_set_sieve(Reader* r, const int32_t* start, const int32_t* gpos,
     r->sieve_e = maxerrors;
     r->sieve_p5k = 1;
     for (int i = 0; i < k; i++) r->sieve_p5k *= 5;
+    r->sieve_mask2 = (uint32_t)((1ull << (2 * k)) - 1);
     r->sieve_present.assign(((size_t)r->sieve_p5k + 63) / 64, 0);
-    for (int64_t c = 0; c < r->sieve_p5k; c++)
-        if (start[c + 1] > start[c])
-            r->sieve_present[(size_t)c >> 6] |= 1ull << (c & 63);
+    // N-free bank k-mers additionally populate an L1-resident 2-bit-code
+    // bitmap (4^k bits; 8 KB at k=8): a window without N can only match
+    // an N-free bank k-mer, so the small map is exact for such windows
+    r->sieve_present2.assign(((size_t)1 << (2 * k)) / 64 + 1, 0);
+    for (int64_t c = 0; c < r->sieve_p5k; c++) {
+        if (start[c + 1] <= start[c]) continue;
+        r->sieve_present[(size_t)c >> 6] |= 1ull << (c & 63);
+        uint32_t c2 = 0;
+        bool has_n = false;
+        int64_t v = c;
+        for (int j = 0; j < k; j++) {
+            int d = (int)(v % 5);
+            v /= 5;
+            if (d == 4) { has_n = true; break; }
+            c2 |= (uint32_t)d << (2 * j);
+        }
+        if (!has_n)
+            r->sieve_present2[c2 >> 6] |= 1ull << (c2 & 63);
+    }
+    // 2-bit -> base-5 value conversion tables, 4 digits per byte
+    for (int g = 0; g < 3; g++) {
+        int64_t scale = 1;
+        for (int j = 0; j < 4 * g; j++) scale *= 5;
+        for (int b = 0; b < 256; b++) {
+            int64_t v = 0, pw = scale;
+            for (int j = 0; j < 4; j++) {
+                v += ((b >> (2 * j)) & 3) * pw;
+                pw *= 5;
+            }
+            r->conv5[g][b] = v;
+        }
+    }
 }
 
 void kvq_stats(Reader* r, int64_t* records_parsed, int64_t* parsed,
