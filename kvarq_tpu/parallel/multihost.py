@@ -1,0 +1,207 @@
+'''
+Multi-host scale-out: scan a corpus of FastQ files across the hosts and
+chips of a TPU slice.
+
+The reference's only batch-level scale-out is "run many ``kvarq scan``
+processes from a shell loop and merge the jsons with ``kvarq summarize``"
+(reference docs/tutorial.rst:366-374).  Here the same corpus-level
+parallelism is first-class: every host streams its own shard of the
+input files through the native reader/sieve, all hosts jointly execute
+the sharded scan step over a global ``('data', 'bank')`` mesh, and
+per-template coverage/stat tensors merge with ``psum`` over ICI/DCN --
+one result, bitwise-equal to a single-host scan of the concatenated
+input (the reference's own ``findseqs(f) == findseqs([f1, f2])``
+invariant, tests/test_engine.py:184-205 upstream, licenses the merge).
+
+Usage (run the SAME program on every host of the slice):
+
+    from kvarq_tpu.parallel import multihost
+    multihost.initialize()                      # jax.distributed
+    covs, seqhits, seqbasehits = multihost.scan_sharded(
+        fnames, seqs, maxerrors=2, minoverlap=25, minreadlength=25,
+        Amin=chr(33 + 13))
+
+Collective contract: every host dispatches the same sequence of steps --
+a host whose file shard is exhausted keeps contributing all-padding
+batches until an all-hosts vote says everyone is done, so no host ever
+blocks alone in a collective.  Single-process it degrades to the plain
+mesh scan, which is how the logic is exercised in tests and the
+driver's virtual-mesh dryrun.
+'''
+
+import numpy as np
+
+from kvarq_tpu.engine import encode, reader
+from kvarq_tpu.log import lo
+from kvarq_tpu.parallel import (
+    ShardBank, make_mesh, sharded_scan_step, sharded_scan_step_pallas)
+
+
+def initialize(**kwargs):
+    ''' bring up jax.distributed (no-op when already initialized or
+        single-process).  On TPU pods coordinator/process counts are
+        auto-detected; kwargs pass through for manual setups
+        (coordinator_address=, num_processes=, process_id=). '''
+    import jax
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError) as e:   # already initialized / 1 proc
+        lo.debug('jax.distributed.initialize: %s' % e)
+    return jax.process_index(), jax.process_count()
+
+
+def shard_files(fnames, process_id=None, num_processes=None):
+    ''' deterministic per-host file assignment, balanced by file size
+        (largest-first greedy); every host must call with the same list '''
+    import os
+    import jax
+    if process_id is None:
+        process_id = jax.process_index()
+    if num_processes is None:
+        num_processes = jax.process_count()
+    sizes = [(os.path.getsize(f) if os.path.exists(f) else 0, i)
+             for i, f in enumerate(fnames)]
+    loads = [0] * num_processes
+    mine = []
+    for size, i in sorted(sizes, reverse=True):
+        host = loads.index(min(loads))
+        loads[host] += size
+        if host == process_id:
+            mine.append(fnames[i])
+    return mine
+
+
+def scan_sharded(fnames, seqs, maxerrors, minoverlap, minreadlength,
+                 Amin, mesh=None, nthreads=8, Lpad=128, b_local=2048,
+                 stats=None, backend=None):
+    '''
+    collective scan over all hosts/chips of ``mesh`` (default: all
+    devices).  Every host returns identical results:
+
+    :returns: ``(coverages, seqhits, seqbasehits)`` -- ``coverages`` is a
+        list of [5, S] base-count arrays in ``seqs`` order (feed to
+        :py:func:`kvarq_tpu.engine.tensor_scan.fold_into_coverage`).
+
+    All read batches are padded to a fixed ``Lpad`` so every host
+    compiles and executes the identical program; reads longer than
+    ``Lpad`` raise (raise ``Lpad``, or fall back to per-host ``kvarq
+    scan`` + ``summarize`` for exotic read lengths).
+    '''
+    import os
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    nproc = jax.process_count()
+    mesh = mesh if mesh is not None else make_mesh()
+    n_data = mesh.shape['data']
+    n_bank = mesh.shape['bank']
+    T = len(seqs)
+    platform = jax.default_backend()
+    backend = backend or os.environ.get('KVARQ_TENSOR_BACKEND', 'auto')
+    if backend == 'auto':
+        backend = 'xla' if platform == 'cpu' else 'pallas'
+
+    bank = ShardBank(list(seqs), Lpad, n_bank, minoverlap)
+    if backend == 'pallas':
+        from kvarq_tpu.engine import pallas_scan
+        arrays, Qp = bank.pallas_device_arrays(T, pallas_scan.DEF_TQ)
+        step = sharded_scan_step_pallas(
+            mesh, Lpad, bank.G, Qp, T, maxerrors, minoverlap, b_local,
+            interpret=(platform == 'cpu'))
+        args = (arrays['K'], arrays['qmeta'], arrays['tseg'])
+    else:
+        dtype = 'float32' if platform == 'cpu' else 'bfloat16'
+        arrays = bank.device_arrays(dtype)
+        step = sharded_scan_step(mesh, Lpad, bank.G, T, maxerrors,
+                                 minoverlap, dtype_name=dtype)
+        args = (arrays['bank_oh'], arrays['d_of'], arrays['seql_of'],
+                arrays['tid'], arrays['valid_q'])
+
+    B_global = b_local * n_data
+    if B_global % nproc:
+        raise ValueError('b_local * n_data must divide by process count')
+    B_host = B_global // nproc     # rows this host contributes per step
+
+    data_sharding = NamedSharding(mesh, P('data'))
+
+    def put(codes, rl):
+        if nproc == 1:
+            return jnp.asarray(codes), jnp.asarray(rl)
+        return (jax.make_array_from_process_local_data(data_sharding, codes),
+                jax.make_array_from_process_local_data(data_sharding, rl))
+
+    # host-side exact accumulators (stats/coverage tensors are fetched
+    # once per *batch group*, identical on every host)
+    acc_bc = np.zeros((n_bank, encode.NBASE, bank.G), dtype=np.float64)
+    acc_sh = np.zeros(T, dtype=np.int64)
+    acc_sbh = np.zeros(T, dtype=np.int64)
+
+    mine = shard_files(list(fnames)) if nproc > 1 else list(fnames)
+    stats = stats if stats is not None else reader.ReaderStats()
+    from kvarq_tpu.engine.sieve import KmerSieve
+    sieve = KmerSieve.build(seqs, maxerrors, minoverlap, minreadlength)
+
+    def host_rows():
+        ''' yield [B_host, Lpad] row blocks from this host's shard '''
+        pend_codes = np.full((B_host, Lpad), encode.CODE_READ_JUNK,
+                             dtype=np.uint8)
+        pend_rl = np.zeros(B_host, dtype=np.int32)
+        fill = 0
+        src = reader.batches(mine, ord(Amin), minreadlength, stats,
+                             batchsize=B_host, sieve=sieve,
+                             nthreads=nthreads) if mine else iter(())
+        for batch in src:
+            B, L = batch.codes.shape
+            if L > Lpad:
+                raise ValueError('read length %d exceeds Lpad=%d' % (L, Lpad))
+            lo_ = 0
+            while lo_ < B:
+                n = min(B - lo_, B_host - fill)
+                pend_codes[fill:fill + n, :L] = batch.codes[lo_:lo_ + n]
+                pend_rl[fill:fill + n] = batch.rl[lo_:lo_ + n]
+                fill += n
+                lo_ += n
+                if fill == B_host:
+                    yield pend_codes, pend_rl
+                    pend_codes = np.full((B_host, Lpad),
+                                         encode.CODE_READ_JUNK, np.uint8)
+                    pend_rl = np.zeros(B_host, dtype=np.int32)
+                    fill = 0
+        if fill:
+            yield pend_codes, pend_rl
+
+    rows = host_rows()
+    pad_codes = np.full((B_host, Lpad), encode.CODE_READ_JUNK, np.uint8)
+    pad_rl = np.zeros(B_host, dtype=np.int32)
+    done = False
+    while True:
+        block = None
+        if not done:
+            block = next(rows, None)
+            done = block is None
+        if nproc > 1:
+            votes = multihost_utils.process_allgather(
+                np.asarray([0 if done else 1], dtype=np.int32))
+            if int(np.asarray(votes).sum()) == 0:
+                break
+        elif done:
+            break
+        codes, rl = block if block is not None else (pad_codes, pad_rl)
+        bc, sh, sbh = step(*put(codes, rl), *args)
+        if nproc > 1:
+            bc = multihost_utils.process_allgather(bc, tiled=True)
+        acc_bc += np.asarray(bc, dtype=np.float64)
+        acc_sh += np.asarray(sh[:T], dtype=np.int64)
+        acc_sbh += np.asarray(sbh[:T], dtype=np.int64)
+
+    # fold padded per-shard positions back onto per-template [5, S]
+    per_template = [np.zeros((encode.NBASE, len(s)), dtype=np.float64)
+                    for s in seqs]
+    for shard, ((lo_, hi), sub) in enumerate(zip(bank.ranges, bank.sub)):
+        for t in range(lo_, hi):
+            pos = sub.tstart[t - lo_]
+            S = len(seqs[t])
+            per_template[t] += acc_bc[shard, :, pos:pos + S]
+    return per_template, acc_sh, acc_sbh

@@ -124,3 +124,44 @@ def test_dryrun():
     import jax
     n = min(8, len(jax.devices()))
     parallel.dryrun(n)
+
+
+@pytest.mark.parametrize('n_data,n_bank', [(4, 2), (8, 1)])
+def test_multihost_driver_single_process(n_data, n_bank):
+    ''' the multi-host scan driver (kvarq_tpu.parallel.multihost) in its
+        single-process degenerate mode must reproduce the hit-list
+        path's coverages and stats exactly '''
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 (virtual) devices')
+    from kvarq_tpu.parallel import multihost
+
+    fname = os.path.join(FASTQS, 'test_engine.fastq')
+    plus = ['CACCGGTGTAGGCAAGTCGTAACAAGG', 'TTTTTTTTTTGGGGGGGGGG']
+    seqs = plus + [_revcomp(s) for s in plus]
+
+    engine.config(maxerrors=1, minoverlap=5, minreadlength=5, Amin='!')
+    ref_bcs, ref_stats = _hitpath_basecounts(fname, seqs)
+
+    mesh = parallel.make_mesh(n_data, n_bank)
+    covs, seqhits, seqbasehits = multihost.scan_sharded(
+        [fname], seqs, maxerrors=1, minoverlap=5, minreadlength=5,
+        Amin='!', mesh=mesh, nthreads=2, b_local=16)
+
+    for t, (r, g) in enumerate(zip(ref_bcs, covs)):
+        assert np.array_equal(r, g.astype(np.int64)), 'template %d' % t
+    assert np.array_equal(np.asarray(ref_stats['nseqhits']), seqhits)
+    assert np.array_equal(np.asarray(ref_stats['nseqbasehits']),
+                          seqbasehits)
+
+
+def test_multihost_shard_files():
+    from kvarq_tpu.parallel import multihost
+    names = [os.path.join(FASTQS, f) for f in (
+        'test_engine.fastq', 'test_engine_1.fastq', 'test_engine_2.fastq',
+        'L3_N1014_hits_5k.fastq')]
+    shards = [multihost.shard_files(names, pid, 3) for pid in range(3)]
+    flat = sorted(sum(shards, []))
+    assert flat == sorted(names)          # partition, no dup/loss
+    # deterministic across calls
+    assert shards == [multihost.shard_files(names, p, 3) for p in range(3)]
