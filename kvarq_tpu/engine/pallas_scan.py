@@ -103,21 +103,23 @@ def _match_kernel(maxerrors, minoverlap,
     seql = qmeta_ref[ROW_SEQL:ROW_SEQL + 1, :]
     valid = qmeta_ref[ROW_VALID:ROW_VALID + 1, :]
 
-    ov_i = jnp.minimum(seql, d + rl) - jnp.maximum(0, d)     # [TB, TQ] i32
+    # reduced mode gating (see tensor_scan.mode_weights for the algebra;
+    # exhaustively verified equivalent to the four-window enumeration)
+    t1 = d + rl
+    ov_i = jnp.minimum(seql, t1) - jnp.maximum(0, d)         # [TB, TQ] i32
     ov = ov_i.astype(jnp.float32)
     mism = ov - matches
     mo = minoverlap
 
-    i = -d
     ab = (rl > mo) & (seql > mo)
-    wA = ab & (i >= 1) & (i >= rl - seql + 1) & (i <= rl - mo)
-    wB = ab & (d >= 1) & (d >= seql - rl) & (d <= seql - mo)
-    wC = (rl > seql) & (d <= 0) & (i <= rl - seql)
-    wD = (rl <= seql) & (d >= 0) & (d <= seql - rl)
+    govmo = ov_i >= mo
+    wA = ab & (d < 0) & govmo & (ov_i != seql)
+    wB = ab & (d > 0) & govmo & (t1 >= seql)
+    full = ov_i == jnp.minimum(rl, seql)
 
     passing = (valid > 0) & (rl > 0) & (mism <= maxerrors)
     nmodes = (wA.astype(jnp.float32) + wB.astype(jnp.float32)
-              + wC.astype(jnp.float32) + wD.astype(jnp.float32))
+              + full.astype(jnp.float32))
     w = jnp.where(passing, nmodes, 0.)                       # [TB, TQ] f32
 
     part = jnp.concatenate(

@@ -66,20 +66,28 @@ def mode_weights(matches, rl_col, d_row, seql_row, valid_row,
     rl_ = rl_col
     mo = minoverlap
 
-    ov = (jnp.minimum(seql, d + rl_)
-          - jnp.maximum(0, d)).astype(jnp.float32)
+    # reduced closed form of the four-mode enumeration (see
+    # kvarq_tpu.engine.hitmodel; exhaustively checked equivalent in
+    # tests/test_tensor_scan.py::test_mode_weights_closed_form):
+    #   C+D (containment)  <=>  ov == min(rl, seql)
+    #   A                  <=>  ab and d < 0 and ov >= mo and ov != seql
+    #   B                  <=>  ab and d > 0 and ov >= mo and d+rl >= seql
+    # -- roughly half the per-element VPU ops of the naive four-window
+    # gating, which otherwise rivals the MXU contraction in kernel time.
+    t1 = d + rl_
+    ov_i = jnp.minimum(seql, t1) - jnp.maximum(0, d)
+    ov = ov_i.astype(jnp.float32)
     mism = ov - matches
 
-    i = -d
     ab = (rl_ > mo) & (seql > mo)
-    wA = ab & (i >= 1) & (i >= rl_ - seql + 1) & (i <= rl_ - mo)
-    wB = ab & (d >= 1) & (d >= seql - rl_) & (d <= seql - mo)
-    wC = (rl_ > seql) & (d <= 0) & (i <= rl_ - seql)
-    wD = (rl_ <= seql) & (d >= 0) & (d <= seql - rl_)
+    govmo = ov_i >= mo
+    wA = ab & (d < 0) & govmo & (ov_i != seql)
+    wB = ab & (d > 0) & govmo & (t1 >= seql)
+    full = ov_i == jnp.minimum(rl_, seql)
 
     passing = (valid_row > 0) & (rl_ > 0) & (mism <= maxerrors)
     nmodes = (wA.astype(jnp.float32) + wB.astype(jnp.float32)
-              + wC.astype(jnp.float32) + wD.astype(jnp.float32))
+              + full.astype(jnp.float32))
     w = jnp.where(passing, nmodes, 0.)
     return w, ov
 

@@ -121,3 +121,35 @@ def test_tensorized_subbatching():
         sc.scan_batch(batch)
     for r, g in zip(ref_bcs, sc.coverages()):
         assert np.array_equal(r, g.astype(np.int64))
+
+
+def test_mode_weights_closed_form():
+    ''' the reduced closed-form gating in mode_weights must equal the
+        four-mode enumeration (hitmodel.weights_for_d) for every
+        (rl, seql, minoverlap, d) on a dense grid '''
+    import numpy as np
+    import jax.numpy as jnp
+    from kvarq_tpu.engine import hitmodel
+    from kvarq_tpu.engine.tensor_scan import mode_weights
+
+    for mo in (1, 3, 5, 10, 25):
+        rls = np.arange(0, 40, dtype=np.int32)
+        for seql in range(1, 40):
+            d = np.arange(-41, seql + 3, dtype=np.int32)
+            # zero matches => mism == ov; pick maxerrors large so the
+            # mismatch gate never blocks and w reflects nmodes alone
+            matches = jnp.zeros((len(rls), len(d)), jnp.float32)
+            w, _ = mode_weights(
+                matches, jnp.asarray(rls)[:, None], jnp.asarray(d)[None, :],
+                jnp.full((1, len(d)), seql, jnp.int32),
+                jnp.ones((1, len(d)), jnp.int32),
+                maxerrors=10**6, minoverlap=mo)
+            w = np.asarray(w)
+            for bi, rl in enumerate(rls):
+                if rl == 0:
+                    assert not w[bi].any()
+                    continue
+                ref = hitmodel.weights_for_d(d, int(rl), seql, mo)
+                np.testing.assert_array_equal(
+                    w[bi], ref.astype(np.float32),
+                    err_msg='rl=%d seql=%d mo=%d' % (rl, seql, mo))
