@@ -38,11 +38,13 @@ constexpr int MAX_READLENGTH = 1024;   // histogram cap (workhorse.c:105)
 constexpr size_t CHUNKSIZE = 8u * 1024 * 1024;
 constexpr size_t WORKCHUNK = 1u * 1024 * 1024;  // per work-item span
 constexpr uint8_t CODE_READ_JUNK = 5;  // kvarq_tpu/engine/encode.py
-// records per kvq_next call: bounds live-stats/stop() latency.  Kept
-// large: on networked TPU attachments every device dispatch costs a
-// fixed ~30-90 ms regardless of batch size, so fewer/fuller candidate
-// batches beat finer-grained reader/device overlap (measured).
-constexpr int64_t PARSE_CAP = 4 * 262144;
+// default records per kvq_next call: bounds live-stats/stop() latency.
+// Kept large: on networked TPU attachments every device dispatch costs
+// a fixed ~30-90 ms regardless of batch size, so fewer/fuller candidate
+// batches beat finer-grained reader/device overlap (measured); lower it
+// (kvq_open arg / $KVARQ_PARSE_CAP) on locally-attached chips where
+// dispatch is cheap and overlap wins.
+constexpr int64_t DEFAULT_PARSE_CAP = 4 * 262144;
 
 struct Stream {
     std::string fname;
@@ -128,6 +130,7 @@ struct Reader {
     // fastq_read_mutex pattern, workhorse.c:746) and publish processed
     // items; the consumer (kvq_next) drains them in sequence order
     int nthreads = 1;
+    int64_t parse_cap = DEFAULT_PARSE_CAP;
     std::vector<std::thread> workers;
     std::mutex in_mtx, out_mtx;
     std::condition_variable out_cv;
@@ -610,7 +613,7 @@ long next_threaded(Reader* r, long cap, long lmax, uint8_t* raw,
             r->cur = nullptr;
             r->next_consume++;
             if (had_error) return -1;
-            if (consumed >= PARSE_CAP && out > 0) break;
+            if (consumed >= r->parse_cap && out > 0) break;
         }
     }
     *batch_maxrl = maxrl;
@@ -622,7 +625,7 @@ long next_threaded(Reader* r, long cap, long lmax, uint8_t* raw,
 extern "C" {
 
 Reader* kvq_open(const char** fnames, int nfiles, int amin,
-                 int minreadlength, int nthreads) {
+                 int minreadlength, int nthreads, long parse_cap) {
     Reader* r = new Reader();
     r->amin = amin;
     r->minreadlength = minreadlength;
@@ -649,6 +652,7 @@ Reader* kvq_open(const char** fnames, int nfiles, int amin,
     if (nthreads > 16) nthreads = 16;
     if (nthreads < 1) nthreads = 1;
     r->nthreads = nthreads;
+    if (parse_cap > 0) r->parse_cap = parse_cap;
     return r;
 }
 
@@ -740,7 +744,7 @@ long kvq_next(Reader* r, long cap, long lmax, uint8_t* raw, uint8_t* codes,
     // with the sieve active one call could otherwise consume the whole
     // file; cap the records parsed per call (once something was emitted)
     // so live stats / stop() stay responsive
-    const int64_t parse_cap = r->records_parsed + PARSE_CAP;
+    const int64_t parse_cap = r->records_parsed + r->parse_cap;
 
     while (out < cap) {
         if (out > 0 && r->records_parsed >= parse_cap) break;

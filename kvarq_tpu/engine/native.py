@@ -63,7 +63,7 @@ def get_lib():
         lib.kvq_open.restype = ctypes.c_void_p
         lib.kvq_open.argtypes = [ctypes.POINTER(ctypes.c_char_p),
                                  ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                                 ctypes.c_int]
+                                 ctypes.c_int, ctypes.c_long]
         lib.kvq_error.restype = ctypes.c_char_p
         lib.kvq_error.argtypes = [ctypes.c_void_p]
         lib.kvq_stats.argtypes = [ctypes.c_void_p] + \
@@ -110,7 +110,12 @@ def batches(fnames, Amin, minreadlength, stats, batchsize=16384,
     lib = get_lib()
     names = (ctypes.c_char_p * len(fnames))(
         *[f.encode() for f in fnames])
-    h = lib.kvq_open(names, len(fnames), Amin, minreadlength, nthreads)
+    # records consumed per C call before control returns to Python:
+    # bounds progress/stop() latency and, on cheap-dispatch (local)
+    # attachments, enables reader/device overlap when lowered
+    parse_cap = int(os.environ.get('KVARQ_PARSE_CAP', '0'))
+    h = lib.kvq_open(names, len(fnames), Amin, minreadlength, nthreads,
+                     parse_cap)
     if sieve is not None:
         # the C side keeps pointers; hold the arrays until kvq_close
         sieve_arrays = [
