@@ -1,17 +1,53 @@
 #!/usr/bin/env python
 '''
-Converts a ``.json`` result file from one format version to another
-(reference analyse/convert.py): upgrades the pre-0.10 "version 0" layout
-(top-level ``spoligo``/``lineage`` keys, signed-overflowed hit positions)
-to the ``info``-keyed version 1 layout.  Later upgrades (0.10/0.11 ->
-current) are handled transparently by ``kvarq update``
-(kvarq_tpu/legacy.py).
+Standalone upgrade for "version 0" result files (the layout predating the
+``info`` block: top-level ``spoligo``/``lineage`` keys and hit positions
+that overflowed a signed int32 for files >2 GiB).  Prints the upgraded
+json to stdout; later format versions pass through unchanged and are
+handled by ``kvarq update`` (kvarq_tpu/legacy.py).  Behavior per reference
+analyse/convert.py.
 '''
 
 import argparse
 import json
 import sys
 import time
+
+INT32_SPAN = 0x100000000
+
+
+def unwrap_positions(posstr):
+    ''' fix signed-int32 wraparound in a comma-joined position list;
+        :returns: (fixed string, number of suspicious sign flips) '''
+    fixed = []
+    flips = 0
+    previous = 0
+    for pos in map(int, posstr.split(',')):
+        if previous < 0 <= pos:
+            flips += 1
+        previous = pos
+        fixed.append(pos + INT32_SPAN if pos < 0 else pos)
+    return ','.join(map(str, fixed)), flips
+
+
+def convert_v0(data, report=lambda msg: None):
+    ''' in-place upgrade of a version-0 result dict to version 1 '''
+    overflows = 0
+    for test, posstr in data['hits'].items():
+        data['hits'][test], flips = unwrap_positions(posstr)
+        if flips:
+            report('*** probable overflow in %s : %d sign flips'
+                   % (test, flips))
+            overflows += flips
+
+    data['analyses'] = {key: data.pop(key)
+                        for key in ('spoligo', 'lineage')}
+
+    descr = 'converted 0->1 on ' + time.asctime(time.localtime())
+    if overflows:
+        descr += '; probably contains overflows that were not fixed'
+    data['info'] = dict(format='kvarq', fastq='?', when='?', descr=descr)
+    return data
 
 
 def main(argv=None):
@@ -24,45 +60,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     data = json.load(args.json)
-
     if 'info' not in data:
-        # convert version 0 -> version 1
         if args.verbose:
             sys.stderr.write('converting ' + args.json.name + '\n')
-
-        overflow = 0
-        for test, posstr in data['hits'].items():
-            poss = []
-            lpos = 0
-            for pos in map(int, posstr.split(',')):
-                if lpos < 0 and pos >= 0:
-                    sys.stderr.write(
-                        '*** probable overflow in %s : %d -> %d\n'
-                        % (test, lpos, pos))
-                    overflow += 1
-                lpos = pos
-                if pos < 0:
-                    # file positions >2 GiB stored in a signed int32
-                    pos = (pos - (-2147483648)) + 0x80000000
-                poss.append(pos)
-            data['hits'][test] = ','.join(map(str, poss))
-
-        data['analyses'] = {
-            'spoligo': data['spoligo'],
-            'lineage': data['lineage'],
-        }
-        del data['spoligo']
-        del data['lineage']
-
-        descr = 'converted 0->1 on ' + time.asctime(time.localtime())
-        if overflow > 0:
-            descr += '; probably contains overflows that were not fixed'
-        data['info'] = {
-            'format': 'kvarq',
-            'fastq': '?',
-            'when': '?',
-            'descr': descr,
-        }
+        convert_v0(data, report=lambda m: sys.stderr.write(m + '\n'))
 
     print(json.dumps(data, indent=2))
 

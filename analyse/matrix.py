@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 '''
-Aggregates several ``.json`` result files and produces comparison matrices
-(reference analyse/matrix.py): lineage-call matrix vs a reference
-dictionary, spoligo pattern rows (analog hits / called pattern /
-reference pattern), and a template hit-count heatmap.
+Offline comparison matrices over many result ``.json`` files: lineage
+calls vs a reference table, spoligo patterns (analog hits / called /
+reference rows), and a template hit-count heatmap.  Wants matplotlib
+unless ``-n`` is given.  Capabilities per reference analyse/matrix.py;
+organized as one function per subcommand.
 '''
 
 import argparse
@@ -11,6 +12,195 @@ import json
 import os.path
 import re
 import sys
+
+
+# --- pure helpers -------------------------------------------------------------
+
+def oct2bin(ostr):
+    ''' 15-digit octal(+final binary digit) spoligo code -> 43 bit list '''
+    assert len(ostr) == 15
+    bits = [int(digit) for digit in '{:042b}'.format(int(ostr[:-1], 8))]
+    return bits + [int(ostr[-1] != '0')]
+
+
+def lineage_equal(lineage, reflineage):
+    ''' equal up to a missing sublineage on either side '''
+    if lineage == reflineage:
+        return True
+    main, _, sub = lineage.partition('/')
+    refmain, _, refsub = reflineage.partition('/')
+    return main == refmain and (not sub or not refsub)
+
+
+def result_scalar(data, name):
+    ''' pull one analysis result out of a (possibly old-format) json:
+        version-0 files key results directly (``lineage``), current files
+        per testsuite (``MTBC/phylo``); list values are joined '''
+    analyses = data['analyses']
+    key = name
+    if key not in analyses:
+        aliases = {'lineage': 'phylo'}
+        wanted = (name, aliases.get(name, name))
+        for candidate in analyses:
+            if candidate.split('/')[-1] in wanted:
+                key = candidate
+                break
+        else:
+            raise KeyError('no "%s" analysis in json' % name)
+    value = analyses[key]
+    return '; '.join(value) if isinstance(value, list) else value
+
+
+def match_percentage(matches, mismatches):
+    return int(100. * matches / (matches + mismatches))
+
+
+# --- matrix building ------------------------------------------------------------
+
+class MatrixReport:
+
+    ''' collects matrix rows + labels and renders them via matplotlib '''
+
+    def __init__(self, args):
+        self.args = args
+        self.rows = []
+        self.row_labels = []
+        self.plt = None
+        if not args.nothing:
+            from matplotlib import pyplot as plt
+            self.plt = plt
+
+    def add(self, row, label):
+        self.rows.append(row)
+        self.row_labels.append(label)
+
+    def render(self, xlabels):
+        if self.plt is None:
+            return
+        args = self.args
+        self.plt.figure(figsize=(float(args.width[0]),
+                                 float(args.height[0])),
+                        dpi=args.dpi[0])
+        fx = float(args.fractionx[0])
+        fy = float(args.fractiony[0])
+        m = .05
+        self.plt.axes([1 - fx + m, 1 - fy + m, fx - 2 * m, fy - 2 * m])
+        self.plt.imshow(self.rows, interpolation='nearest')
+        self.plt.xticks(range(len(xlabels)), xlabels, rotation='vertical')
+        self.plt.yticks(range(len(self.row_labels)), self.row_labels)
+
+    def save(self):
+        if self.plt is not None and self.args.output:
+            self.plt.savefig(self.args.output[0], dpi=self.args.dpi[0])
+            self.plt.close('all')
+
+
+def cmd_lineage(args, jsons, reference, report):
+    calls = {name: result_scalar(data, 'lineage')
+             for name, data in jsons.items()}
+    known = set(calls.values())
+    for name, ref in (reference or {}).items():
+        if 'lineage' in ref:
+            known.add(ref['lineage'])
+    lineages = sorted(known)
+
+    def one_hot(lineage):
+        row = [0] * len(lineages)
+        row[lineages.index(lineage)] = 1
+        return row
+
+    matches = mismatches = 0
+    for name, lineage in calls.items():
+        report.add(one_hot(lineage), name)
+        ref = (reference or {}).get(name, {})
+        if 'lineage' in ref:
+            report.add(one_hot(ref['lineage']), '*')
+            if lineage_equal(lineage, ref['lineage']):
+                matches += 1
+            else:
+                mismatches += 1
+                if args.verbose > 1:
+                    print('%s : %s instead of %s'
+                          % (name, lineage, ref['lineage']))
+
+    report.render(lineages)
+    if args.verbose:
+        if matches + mismatches:
+            print('%d strains -> %d %% matches (%d vs %d)'
+                  % (len(calls), match_percentage(matches, mismatches),
+                     matches, mismatches))
+        else:
+            print('%d strains (no reference information)' % len(calls))
+
+
+def analog_spoligo_hits(data):
+    ''' per-spacer hit counts from a json's raw hit lists '''
+    analog = [0] * 43
+    for key, hits in data.get('hits', {}).items():
+        m = re.match(r'^spoligo(\d+)', key)
+        if m:
+            analog[int(m.group(1))] = len(hits.split(','))
+    return analog
+
+
+def cmd_spoligo(args, jsons, reference, report):
+    matches = mismatches = 0
+    analogs = {name: analog_spoligo_hits(data)
+               for name, data in jsons.items()}
+    analog_rows = []
+    for name, data in jsons.items():
+        ref = (reference or {}).get(name, {})
+        if 'spoligo' not in ref:
+            continue
+        called = oct2bin(result_scalar(data, 'spoligo').split()[0])
+        refbits = oct2bin(ref['spoligo'])
+        analog_rows.append(analogs[name])
+        report.add(analogs[name], name)
+        report.add(called, name)
+        report.add(refbits, '*')
+        for bit, refbit in zip(called, refbits):
+            if bit == refbit:
+                matches += 1
+            else:
+                mismatches += 1
+
+    # normalize the analog rows so they share one scale (max over ALL
+    # files, referenced or not, like the reference script)
+    peak = max((max(row) for row in analogs.values()), default=0)
+    for row in analog_rows:
+        for j in range(len(row)):
+            row[j] /= float(max(peak, 1))
+
+    if not report.rows:
+        print('*** no reference data found -> matrix cannot be plotted')
+    else:
+        report.render([''] * 43)
+    if args.verbose and matches + mismatches:
+        print('%d strains -> %d %% matches (%d vs %d)'
+              % (len(jsons), match_percentage(matches, mismatches),
+                 matches, mismatches))
+
+
+def cmd_hitmap(args, jsons, reference, report):
+    wanted = re.compile(args.filter[0])
+    templates = sorted(set(
+        key for data in jsons.values()
+        for key in data.get('hits', {}) if wanted.match(key)))
+
+    for name, data in jsons.items():
+        row = [0] * len(templates)
+        for key, poss in data.get('hits', {}).items():
+            if wanted.match(key):
+                row[templates.index(key)] = len(poss.split(','))
+        report.add(row, name)
+    report.render(templates)
+
+
+COMMANDS = {
+    'lineage': cmd_lineage,
+    'spoligo': cmd_spoligo,
+    'hitmap': cmd_hitmap,
+}
 
 
 def build_parser():
@@ -40,196 +230,33 @@ def build_parser():
     return parser
 
 
-def oct2bin(ostr):
-    ''' 15-digit octal+binary spoligo code -> 43 bits
-        (reference matrix.py:104-115) '''
-    assert len(ostr) == 15
-    spol42 = ostr[-1]
-    value = int(ostr[:-1], 8)
-    ret = [0] if spol42 == '0' else [1]
-    for _ in range(42):
-        ret = [value % 2] + ret
-        value >>= 1
-    return ret
-
-
-def lineage_equal(lineage, reflineage):
-    if lineage == reflineage:
-        return True
-    ls = lineage.partition('/')
-    rls = reflineage.partition('/')
-    return ls[0] == rls[0] and len(ls[2]) * len(rls[2]) == 0
+def load_jsons(fnames):
+    jsons = {}
+    for fname in fnames:
+        with open(fname) as fd:
+            key = os.path.splitext(os.path.basename(fname))[0]
+            jsons[key] = json.load(fd)
+            assert jsons[key]['info']['format'] == 'kvarq'
+    return jsons
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    if not args.nothing:
-        from matplotlib import pyplot as plt
-    else:
-        plt = None
-
     reference = None
     if args.reference:
-        with open(args.reference[0]) as f:
-            reference = json.load(f)
+        with open(args.reference[0]) as fd:
+            reference = json.load(fd)
 
-    jsons = {}
-    for fname in args.json:
-        with open(fname) as f:
-            key = os.path.splitext(os.path.basename(fname))[0]
-            jsons[key] = json.load(f)
-            assert jsons[key]['info']['format'] == 'kvarq'
-
-    def plot_matrix(matrix, xlabels, ylabels):
-        if args.nothing:
-            return
-        plt.figure(figsize=(float(args.width[0]), float(args.height[0])),
-                   dpi=args.dpi[0])
-        fx, fy, m = float(args.fractionx[0]), float(args.fractiony[0]), .05
-        ax = plt.axes([1 - fx + m, 1 - fy + m, fx - 2 * m, fy - 2 * m])
-        plt.imshow(matrix, interpolation='nearest')
-        plt.xticks(range(len(xlabels)), xlabels, rotation='vertical')
-        plt.yticks(range(len(ylabels)), ylabels)
-
-    def result_scalar(data, name):
-        ''' analyses values may be version-0 scalars (key "lineage") or
-            current per-testsuite entries (key "MTBC/phylo"); lists join '''
-        analyses = data['analyses']
-        aliases = {'lineage': 'phylo'}
-        key = name
-        if key not in analyses:
-            suffixes = (name, aliases.get(name, name))
-            for k in analyses:
-                if k.split('/')[-1] in suffixes:
-                    key = k
-                    break
-            else:
-                raise KeyError('no "%s" analysis in json' % name)
-        val = analyses[key]
-        if isinstance(val, list):
-            val = '; '.join(val)
-        return val
-
-    if args.command == 'lineage':
-        total = matches = mismatches = 0
-        lineages = set()
-        for name, data in jsons.items():
-            lineages.add(result_scalar(data, 'lineage'))
-        if reference:
-            for name, data in reference.items():
-                if 'lineage' in data:
-                    lineages.add(data['lineage'])
-        lineages = sorted(lineages)
-
-        def row_from_lineage(lineage):
-            row = [0] * len(lineages)
-            row[lineages.index(lineage)] = 1
-            return row
-
-        matrix = []
-        row_labels = []
-        for name, data in jsons.items():
-            lineage = result_scalar(data, 'lineage')
-            row_labels.append(name)
-            matrix.append(row_from_lineage(lineage))
-            total += 1
-            if reference and name in reference \
-                    and 'lineage' in reference[name]:
-                reflineage = reference[name]['lineage']
-                matrix.append(row_from_lineage(reflineage))
-                row_labels.append('*')
-                if lineage_equal(lineage, reflineage):
-                    matches += 1
-                else:
-                    mismatches += 1
-                    if args.verbose > 1:
-                        print('%s : %s instead of %s'
-                              % (name, lineage, reflineage))
-
-        plot_matrix(matrix, lineages, row_labels)
-        if args.verbose:
-            if matches + mismatches:
-                print('%d strains -> %d %% matches (%d vs %d)' % (
-                    total, int(100. * matches / (matches + mismatches)),
-                    matches, mismatches))
-            else:
-                print('%d strains (no reference information)' % total)
-
-    elif args.command == 'spoligo':
-        total = matches = mismatches = 0
-        anamax = 0
-        matrix = []
-        row_labels = []
-        for name, data in jsons.items():
-            code = result_scalar(data, 'spoligo').split()[0]
-            spoligo = oct2bin(code)
-
-            analog = [0] * 43
-            for x, hits in data.get('hits', {}).items():
-                m = re.match(r'^spoligo(\d+)', x)
-                if m:
-                    v = len(hits.split(','))
-                    anamax = max(anamax, v)
-                    analog[int(m.group(1))] = v
-            total += 1
-
-            if reference and name in reference \
-                    and 'spoligo' in reference[name]:
-                refspoligo = oct2bin(reference[name]['spoligo'])
-                matrix.append(analog)           # row 1: analog hits
-                row_labels.append(name)
-                matrix.append(spoligo)          # row 2: called pattern
-                row_labels.append(name)
-                matrix.append(refspoligo)       # row 3: reference
-                row_labels.append('*')
-                for i, x in enumerate(spoligo):
-                    if x == refspoligo[i]:
-                        matches += 1
-                    else:
-                        mismatches += 1
-
-        for i in range(len(matrix) // 3):
-            row = matrix[i * 3]
-            for j in range(len(row)):
-                row[j] /= float(max(anamax, 1))
-
-        if not matrix:
-            print('*** no reference data found -> matrix cannot be '
-                  'plotted')
-        else:
-            plot_matrix(matrix, [''] * 43, row_labels)
-        if args.verbose and matches + mismatches:
-            print('%d strains -> %d %% matches (%d vs %d)' % (
-                total, int(100. * matches / (matches + mismatches)),
-                matches, mismatches))
-
-    elif args.command == 'hitmap':
-        filterre = re.compile(args.filter[0])
-        hits = set()
-        for name, data in jsons.items():
-            for hit in data.get('hits', {}):
-                if filterre.match(hit):
-                    hits.add(hit)
-        hits = sorted(hits)
-
-        matrix = []
-        row_labels = []
-        for name, data in jsons.items():
-            row = [0] * len(hits)
-            for hit, poss in data.get('hits', {}).items():
-                if filterre.match(hit):
-                    row[hits.index(hit)] = len(poss.split(','))
-            matrix.append(row)
-            row_labels.append(name)
-        plot_matrix(matrix, hits, row_labels)
-
-    else:
+    jsons = load_jsons(args.json)
+    handler = COMMANDS.get(args.command)
+    if handler is None:
         sys.stderr.write('command "%s" not implemented\n' % args.command)
+        return
 
-    if args.output and not args.nothing:
-        plt.savefig(args.output[0], dpi=args.dpi[0])
-        plt.close('all')
+    report = MatrixReport(args)
+    handler(args, jsons, reference, report)
+    report.save()
 
 
 if __name__ == '__main__':

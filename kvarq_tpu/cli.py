@@ -1,61 +1,160 @@
 '''
-KvarQ-TPU command line client: same subcommands and flags as the reference
-CLI (kvarq/cli.py) -- scan, update, show, summarize, illustrate, info,
-version, gui, explorer.
+The ``kvarq`` command line tool.
+
+Subcommands, flags and terminal output are kept identical to the reference
+CLI (kvarq/cli.py:364-529) so scripts keep working; the implementation is
+organized differently: the whole surface is declared as a data table
+(``_COMMANDS``) from which the argparse parser is generated, and the scan
+orchestration lives in a small session object instead of a function-local
+thread subclass.
 '''
 
 import argparse
+import json
+import os.path
 import sys
 import threading
 import time
-import json
-import os
-import os.path
-import codecs
 from pprint import pprint
 
-from kvarq_tpu import VERSION
-from kvarq_tpu import genes
-from kvarq_tpu import engine
-from kvarq_tpu import analyse
-from kvarq_tpu.util import ProgressBar, TextHist, json_dump, JsonSummary, \
-    get_help_path
-from kvarq_tpu.fastq import Fastq, FastqFileFormatException
-from kvarq_tpu.log import lo, appendlog, set_debug, set_warning, \
-    format_traceback
+from kvarq_tpu import VERSION, analyse, engine, genes
 from kvarq_tpu.config import default_config
-from kvarq_tpu.testsuites import discover_testsuites, load_testsuites, \
-    update_testsuites
+from kvarq_tpu.fastq import Fastq, FastqFileFormatException
+from kvarq_tpu.log import (appendlog, format_traceback, lo, set_debug,
+                           set_warning)
+from kvarq_tpu.testsuites import (discover_testsuites, load_testsuites,
+                                  update_testsuites)
+from kvarq_tpu.util import (JsonSummary, ProgressBar, TextHist,
+                            get_help_path, json_dump)
 
+# exit codes (reference cli.py:25-27)
 ERROR_COMMAND_LINE_SWITCH = -1
 ERROR_FASTQ_FORMAT_ERROR = -2
 ERROR_FILE_EXISTS = -3
 
 
-def traceit(type, value, tb):
-    if hasattr(sys, 'ps1') or not sys.stderr.isatty():
-        sys.__excepthook__(type, value, tb)
-    else:
-        import traceback
-        import pdb
-        traceback.print_exception(type, value, tb)
+# --- shared helpers ---------------------------------------------------------
+
+def _registry(args):
+    return discover_testsuites(args.testsuite_directory or [])
+
+
+def _selected_testsuites(args):
+    ''' the testsuites requested via -L / -l against the discovery
+        registry '''
+    registry = _registry(args)
+    selection = registry.keys() if args.select_all else (args.select or [])
+    return load_testsuites(registry, selection)
+
+
+def _testsuites_from_json(args, data):
+    ''' re-load (version-checked) the testsuites recorded in a result
+        file '''
+    testsuites = {}
+    update_testsuites(testsuites, data['info']['testsuites'],
+                      _registry(args))
+    return testsuites
+
+
+def _refuse_overwrite(path):
+    if os.path.exists(path):
+        lo.error('will not overwrite file ' + path)
+        sys.exit(ERROR_FILE_EXISTS)
+
+
+def _write_result(data, path):
+    with open(path, 'w', encoding='utf-8') as fd:
+        json_dump(data, fd)
+
+
+# --- scan -------------------------------------------------------------------
+
+class ScanSession:
+
+    '''
+    drives one scan: the Analyser runs on a worker thread while the main
+    thread polls ``engine.stats()`` once a second for the progress bar and
+    for <CTRL-C> handling (one press prints histograms, two presses within
+    2 s abort the scan and keep the partial results) -- reference
+    cli.py:106-186
+    '''
+
+    def __init__(self, analyser, fastq, testsuites, args):
+        self.analyser = analyser
+        self.fastq = fastq
+        self.testsuites = testsuites
+        self.args = args
+        self.error = None
+        self.error_tb = None
+        self.worker = threading.Thread(target=self._work,
+                                       name='analyse-thread')
+
+    def _work(self):
+        try:
+            self.analyser.spacing = self.args.spacing
+            # the hit list is only materialized for -H / --extract-hits;
+            # otherwise coverage is accumulated fully on device
+            keep_hits = bool(self.args.hits or self.args.extract_hits)
+            self.analyser.scan(self.fastq, self.testsuites,
+                               do_reverse=not self.args.no_reverse,
+                               keep_hits=keep_hits)
+        except Exception as e:
+            self.error = e
+            self.error_tb = format_traceback(sys.exc_info())
+
+    def _print_histograms(self, stats):
         print()
-        pdb.post_mortem(tb)
+        print(TextHist(title='readlengths').draw(
+            list(stats['readlengths']), indexed=True))
+        means = sorted(n / len(self.analyser[i])
+                       for i, n in enumerate(stats['nseqbasehits']))
+        print()
+        print(TextHist(title='mean coverages').draw(means, indexed=False))
+
+    def run(self):
+        ''' :returns: final ``engine.stats()`` (partial when aborted) '''
+        engine.install_sigint_counter()
+        bar = ProgressBar(total=1)
+        bar.start()
+        sys.stderr.write('\n')
+
+        sigints_seen = 0
+        last_sigint = time.time()
+        self.worker.start()
+        while self.worker.is_alive() and self.error is None:
+            self.worker.join(1.0)
+            stats = engine.stats()
+            if not stats['records_parsed']:
+                continue
+
+            if self.args.progress:
+                bar.update(stats['progress'])
+                sys.stderr.write(str(bar))
+
+            if stats['sigints'] > sigints_seen:
+                if time.time() - last_sigint < 2.:
+                    sys.stderr.write('\n\n*** caught multiple <CTRL-C> '
+                                     'within 2s : abort scanning ***')
+                    engine.stop()
+                    break
+                self._print_histograms(stats)
+                sigints_seen = stats['sigints']
+                last_sigint = time.time()
+
+        self.worker.join()
+        if self.error is not None:
+            lo.error('could not scan %s : %s [%s]'
+                     % (self.args.fastq, str(self.error), self.error_tb))
+            sys.exit(ERROR_FASTQ_FORMAT_ERROR)
+        sys.stderr.write('\n')
+        return engine.stats()
 
 
-# scan {{{1
-
-def scan(args):
-
-    testsuite_paths = discover_testsuites(args.testsuite_directory or [])
-    if args.select_all:
-        testsuites = load_testsuites(testsuite_paths, testsuite_paths.keys())
-    else:
-        testsuites = load_testsuites(testsuite_paths, args.select or [])
-
+def cmd_scan(args):
+    testsuites = _selected_testsuites(args)
     if not testsuites:
-        sys.stderr.write('\n*** you must specify at least one testsuite! ***\n\n')
-        sys.stderr.write('(use the -t command line switch)\n\n')
+        sys.stderr.write('\n*** you must specify at least one testsuite!'
+                         ' ***\n\n(use the -t command line switch)\n\n')
         sys.exit(ERROR_COMMAND_LINE_SWITCH)
 
     try:
@@ -65,142 +164,57 @@ def scan(args):
         lo.error('cannot open file %s : %s' % (args.fastq, str(e)))
         sys.exit(ERROR_FASTQ_FORMAT_ERROR)
 
-    engine.config(
-        nthreads=args.threads,
-        maxerrors=args.errors,
-        Amin=fastq.Q2A(args.quality),
-        Azero=fastq.Azero,
-        minreadlength=args.readlength,
-        minoverlap=args.overlap,
-    )
+    engine.config(nthreads=args.threads,
+                  maxerrors=args.errors,
+                  Amin=fastq.Q2A(args.quality),
+                  Azero=fastq.Azero,
+                  minreadlength=args.readlength,
+                  minoverlap=args.overlap)
     if args.backend:
         engine.config(backend=args.backend)
 
-    analyser = analyse.Analyser()
-
     if not args.force:
-        if os.path.exists(args.json):
-            lo.error('will not overwrite file ' + args.json)
-            sys.exit(ERROR_FILE_EXISTS)
-        if args.extract_hits and os.path.exists(args.extract_hits):
-            lo.error('will not overwrite file ' + args.extract_hits)
-            sys.exit(ERROR_FILE_EXISTS)
+        _refuse_overwrite(args.json)
+        if args.extract_hits:
+            _refuse_overwrite(args.extract_hits)
 
     lo.info('scanning {} ({})...'.format(
         ', '.join(fastq.filenames()),
-        ', '.join('%.2f MB' % (filesize / 1024. ** 2)
-                  for filesize in fastq.filesizes())))
-    t0 = time.time()
+        ', '.join('%.2f MB' % (size / 1024. ** 2)
+                  for size in fastq.filesizes())))
+    started = time.time()
 
-    engine.install_sigint_counter()
+    analyser = analyse.Analyser()
+    stats = ScanSession(analyser, fastq, testsuites, args).run()
 
-    class AnalyseThread(threading.Thread):
-
-        def __init__(self, analyser):
-            super().__init__(name='analyse-thread')
-            self.analyser = analyser
-            self.finished = False
-            self.exception = None
-            self.traceback = None
-
-        def run(self):
-            try:
-                self.analyser.spacing = args.spacing
-                # hit list is only needed for -H / --extract-hits; otherwise
-                # scan fully tensorized on device (identical results, faster)
-                self.analyser.scan(fastq, testsuites,
-                                   do_reverse=not args.no_reverse,
-                                   keep_hits=bool(args.hits or
-                                                  args.extract_hits))
-                self.finished = True
-            except Exception as e:
-                self.exception = e
-                self.traceback = format_traceback(sys.exc_info())
-
-    at = AnalyseThread(analyser)
-    at.start()
-    pb = ProgressBar(total=1)
-    pb.start()
-
-    # scan / stats loop: poll engine.stats() while the worker scans
-    sys.stderr.write('\n')
-    sigints = 0
-    sigintt = time.time()
-    stats = engine.stats()
-    while not at.finished and at.exception is None:
-        time.sleep(1)
-        stats = engine.stats()
-        if not stats['records_parsed']:
-            continue
-
-        if args.progress:
-            pb.update(stats['progress'])
-            sys.stderr.write(str(pb))
-
-        # <CTRL-C> : output additional information; twice within 2s aborts
-        if stats['sigints'] > sigints:
-            if time.time() - sigintt < 2.:
-                sys.stderr.write('\n\n*** caught multiple <CTRL-C> '
-                                 'within 2s : abort scanning ***')
-                engine.stop()
-                at.join()
-                break
-
-            print()
-            print(TextHist(title='readlengths').draw(
-                list(stats['readlengths']), indexed=True))
-
-            means = sorted(n / len(analyser[i])
-                           for i, n in enumerate(stats['nseqbasehits']))
-            print()
-            print(TextHist(title='mean coverages').draw(
-                sorted(means), indexed=False))
-
-            sigints = stats['sigints']
-            sigintt = time.time()
-
-    at.join()
-    if at.exception:
-        lo.error('could not scan %s : %s [%s]' % (
-            args.fastq, str(at.exception), at.traceback))
-        sys.exit(ERROR_FASTQ_FORMAT_ERROR)
-
-    stats = engine.stats()
-    sys.stderr.write('\n')
-    mbp = '%smb' % (stats['parsed'] // 1024 ** 2)
-    mbt = '%smb' % (stats['total'] // 1024 ** 2)
-    lo.info('performed scanning of %.2f%% (%s/%s, %d records) in %.3f seconds'
-            % (1e2 * stats['progress'], mbp, mbt, stats['records_parsed'],
-               time.time() - t0))
+    lo.info('performed scanning of %.2f%% (%smb/%smb, %d records) '
+            'in %.3f seconds'
+            % (1e2 * stats['progress'], stats['parsed'] // 1024 ** 2,
+               stats['total'] // 1024 ** 2, stats['records_parsed'],
+               time.time() - started))
 
     analyser.update_testsuites()
-
-    data = analyser.encode(hits=args.hits)
-    j = codecs.open(args.json, 'w', 'utf-8')
-    json_dump(data, j)
-    j.close()
-
+    _write_result(analyser.encode(hits=args.hits), args.json)
     if args.extract_hits:
-        at.analyser.extract_hits(args.extract_hits)
+        analyser.extract_hits(args.extract_hits)
 
 
-# show {{{1
+# --- other commands ---------------------------------------------------------
 
-def show(args):
+def cmd_version(args):
+    print(VERSION)
 
+
+def cmd_show(args):
     fastq = Fastq(args.file)
 
     if args.quality:
-        Amin = fastq.Q2A(args.quality)
-        n = args.number
-        points = args.points
         lo.info('determining readlengths with quality>=%d of %s '
-                'by reading %d records at %d points' % (
-                    args.quality, args.file, n, points))
-        rls = fastq.lengths(Amin, n=n, points=points)
-
-        hist = TextHist()
-        print(hist.draw(sorted(rls)))
+                'by reading %d records at %d points'
+                % (args.quality, args.file, args.number, args.points))
+        trimmed = fastq.lengths(fastq.Q2A(args.quality),
+                                n=args.number, points=args.points)
+        print(TextHist().draw(sorted(trimmed)))
 
     if args.info:
         print('dQ=' + str(fastq.dQ))
@@ -209,51 +223,36 @@ def show(args):
         print('records_approx=' + str(fastq.records_approx or '?'))
 
 
-# update {{{1
-
-def update(args):
-
+def cmd_update(args):
     if args.fastq:
         lo.warning('re-reading of hits not currently implemented')
 
-    data = json.load(open(args.json))
-
-    testsuite_paths = discover_testsuites(args.testsuite_directory or [])
-    testsuites = {}
-    update_testsuites(testsuites, data['info']['testsuites'], testsuite_paths)
+    with open(args.json) as fd:
+        data = json.load(fd)
+    testsuites = _testsuites_from_json(args, data)
 
     analyser = analyse.Analyser()
     analyser.decode(testsuites, data)
     analyser.update_testsuites()
 
-    data = analyser.encode(hits=analyser.hits is not None)
-    j = codecs.open(args.json, 'w', 'utf-8')
     lo.info('re-wrote results to file ' + args.json)
-    json.dump(data, j, indent=2)
-    j.close()
+    with open(args.json, 'w', encoding='utf-8') as fd:
+        json.dump(analyser.encode(hits=analyser.hits is not None), fd,
+                  indent=2)
 
 
-# summarize {{{1
-
-def summarize(args):
-
-    js = JsonSummary()
+def cmd_summarize(args):
+    summary = JsonSummary()
     for fname in args.json:
         lo.info('processing ' + fname)
-        js.add(fname)
+        summary.add(fname)
+    summary.dump()
 
-    js.dump()
 
-
-# illustrate {{{1
-
-def illustrate(args):
-
-    data = json.load(open(args.file))
-
-    testsuite_paths = discover_testsuites(args.testsuite_directory or [])
-    testsuites = {}
-    update_testsuites(testsuites, data['info']['testsuites'], testsuite_paths)
+def cmd_illustrate(args):
+    with open(args.file) as fd:
+        data = json.load(fd)
+    testsuites = _testsuites_from_json(args, data)
 
     analyser = analyse.Analyser()
     lo.info('loading json-file ' + args.file)
@@ -262,9 +261,7 @@ def illustrate(args):
     analyser.update_testsuites()
 
     if args.readlengths:
-        rls = analyser.stats['readlengths']
-        hist = TextHist()
-        print(hist.draw(rls, indexed=True))
+        print(TextHist().draw(analyser.stats['readlengths'], indexed=True))
 
     if args.coverage:
         for name, testsuite in analyser.testsuites.items():
@@ -274,43 +271,18 @@ def illustrate(args):
             print()
 
     if args.results:
-        for testsuite, results in analyser.results.items():
-            print('\n' + testsuite)
-            print('-' * len(testsuite))
+        for name, results in analyser.results.items():
+            print('\n' + name)
+            print('-' * len(name))
             pprint(results)
 
 
-# version {{{1
-
-def version(args):
-    print(VERSION)
-
-
-# gui {{{1
-
-def gui(args):
-
-    testsuite_paths = discover_testsuites(args.testsuite_directory or [])
-
-    import tkinter
-    from kvarq_tpu.gui.main import MainGUI
-    MainGUI(testsuite_paths=testsuite_paths)
-    tkinter.mainloop()
-
-
-# info {{{1
-
-def info(args):
-
-    testsuite_paths = discover_testsuites(args.testsuite_directory or [])
-    if args.select_all:
-        testsuites = load_testsuites(testsuite_paths, testsuite_paths.keys())
-    else:
-        testsuites = load_testsuites(testsuite_paths, args.select or [])
+def cmd_info(args):
+    testsuites = _selected_testsuites(args)
 
     print('version=' + VERSION)
-    testsuites_descr = []
-    tbp = tests = 0
+    descriptions = []
+    total_bp = total_tests = 0
     for name, testsuite in testsuites.items():
         bp = 0
         for test in testsuite.tests:
@@ -318,33 +290,192 @@ def info(args):
                 bp += len(test.template.seq(spacing=args.spacing))
             else:
                 bp += len(test.template.seq())
-        testsuites_descr.append('%s-%s[%d:%dbp]' % (
-            name, testsuite.version, len(testsuite.tests), bp))
-        tbp += bp
-        tests += len(testsuite.tests)
-    print('testsuites=' + ','.join(testsuites_descr))
-    print('sum=%d tests,%dbp' % (tests, tbp))
+        descriptions.append('%s-%s[%d:%dbp]'
+                            % (name, testsuite.version,
+                               len(testsuite.tests), bp))
+        total_bp += bp
+        total_tests += len(testsuite.tests)
+    print('testsuites=' + ','.join(descriptions))
+    print('sum=%d tests,%dbp' % (total_tests, total_bp))
     print('sys.prefix=' + sys.prefix)
 
 
-# explorer {{{1
+def cmd_gui(args):
+    registry = _registry(args)
+    import tkinter
+    from kvarq_tpu.gui.main import MainGUI
+    MainGUI(testsuite_paths=registry)
+    tkinter.mainloop()
 
-def explorer(args):
 
-    testsuite_paths = discover_testsuites(args.testsuite_directory or [])
-
-    import tkinter as tk
+def cmd_explorer(args):
+    registry = _registry(args)
+    import tkinter
     from kvarq_tpu.gui.explorer import DirectoryExplorer, JsonExplorer
-    if os.path.isdir(args.explorable):
-        DirectoryExplorer(args.explorable,
-                          testsuites={}, testsuite_paths=testsuite_paths)
-    else:
-        JsonExplorer(args.explorable,
-                     testsuites={}, testsuite_paths=testsuite_paths)
-    tk.mainloop()
+    explorer_cls = (DirectoryExplorer if os.path.isdir(args.explorable)
+                    else JsonExplorer)
+    explorer_cls(args.explorable, testsuites={}, testsuite_paths=registry)
+    tkinter.mainloop()
 
 
-# parser {{{1
+# --- command table ----------------------------------------------------------
+
+def _arg(*names, **kwargs):
+    return names, kwargs
+
+
+def _testsuite_selection_args():
+    return [
+        _arg('-L', '--select-all', action='store_true',
+             help='load all discovered testsuites'),
+        _arg('-l', '--select', action='append',
+             help='name of a testsuite ("MTBC/phylo"), a group ("MTBC"), '
+                  'or the path of a testsuite .py file'),
+    ]
+
+
+def _spacing_arg():
+    return _arg('-s', '--spacing', action='store', type=int,
+                default=default_config['spacing'],
+                help='default flank length on both sides of templates '
+                     'generated from genome (default=%d)'
+                     % default_config['spacing'])
+
+
+_GLOBAL_ARGS = [
+    _arg('-d', '--debug', action='store_true',
+         help='output log information at a debug level'),
+    _arg('-q', '--quiet', action='store_true',
+         help='only output warnings/errors to stderr/log'),
+    _arg('-x', '--excepthook', action='store_true',
+         help='catch exception and launch debugger'),
+    _arg('-l', '--log',
+         help='append log to specified file (similar to redirecting '
+              'stderr, but without progress bar)'),
+    _arg('-t', '--testsuite-directory', action='append',
+         help='specify a directory that contains subdirectories from '
+              'which testsuites can be loaded; these are added to the '
+              'pool of testsuites that can later be selected (scan, info) '
+              'or that are autoloaded (illustrate, explore, update)'),
+]
+
+# (name, parser kwargs, handler, [argument specs])
+_COMMANDS = [
+
+    ('version', dict(help='show version info'), cmd_version, []),
+
+    ('scan', {}, cmd_scan, [
+        _arg('-p', '--progress', action='store_true',
+             help='shows progress bar on stdout while scanning'),
+        # accepted but without effect, exactly like the reference: the
+        # flag is declared (cli.py:399-400) yet never read -- use `kvarq
+        # update` to recompute analyses from a previous scan's coverages
+        _arg('-S', '--no-scan', action='store_true',
+             help='instead of scanning the original file, the provided '
+                  '.json file from a previous scan result is used'),
+        *_testsuite_selection_args(),
+        _arg('-t', '--threads', action='store', type=int,
+             default=default_config['threads'],
+             help='number of threads for concurrent scanning (default: %d)'
+                  % default_config['threads']),
+        _arg('-Q', '--quality', action='store', type=int,
+             default=default_config['quality'],
+             help='discard nucleotides with Q score inferior to this '
+                  'value (default=%d; i.e. p=0.05)'
+                  % default_config['quality']),
+        _arg('-e', '--errors', action='store', type=int,
+             default=default_config['errors'],
+             help='maximal number of errors allowed when comparing base '
+                  'sequences (default=%d)' % default_config['errors']),
+        _arg('-r', '--readlength', action='store', type=int,
+             default=default_config['minimum readlength'],
+             help='minimum read length (default=%d)'
+                  % default_config['minimum readlength']),
+        _arg('-o', '--overlap', action='store', type=int,
+             default=default_config['minimum overlap'],
+             help='minimum read overlap (default=%d)'
+                  % default_config['minimum overlap']),
+        _spacing_arg(),
+        _arg('-1', '--no-reverse', action='store_true',
+             help='do not scan for hits in reverse strand'),
+        _arg('-P', '--no-paired', action='store_true',
+             help='ignore paired file -- by default, the file '
+                  '"strain_2.fastq[.gz]" is also read if '
+                  '"strain_1.fastq[.gz]" is specified'),
+        _arg('--variant', choices=list(Fastq.vendor_variants.keys()),
+             help='specify .fastq variant manually in case heuristic '
+                  'determination fails'),
+        _arg('--backend', choices=['auto', 'numpy', 'xla', 'pallas'],
+             help='engine compute backend (default: auto -- pallas on '
+                  'TPU, xla elsewhere)'),
+        _arg('-f', '--force', action='store_true',
+             help='overwrite any existing .json file'),
+        _arg('-H', '--hits', action='store_true',
+             help='saves all hits in .json file'),
+        _arg('-x', '--extract_hits',
+             help='stores the fastq records of all hits in specified '
+                  'file'),
+        _arg('fastq', help='name of .fastq file to scan'),
+        _arg('json', help='name of .json file to where results are '
+                          'stored (or loaded, see -S)'),
+    ]),
+
+    ('update', dict(
+        help='update (re-calculate) testsuites based on coverages saved '
+             'in .json file; result is stored in same file'),
+     cmd_update, [
+        _arg('json', help='name of .json file to update'),
+        _arg('fastq', nargs='?',
+             help='also re-calculate coverages with .fastq file '
+                  'specified'),
+    ]),
+
+    ('show', dict(help='show some information about a .fastq file'),
+     cmd_show, [
+        _arg('-n', '--number', action='store', default=10000, type=int,
+             help='number of records to read (applies to -Q)'),
+        _arg('-p', '--points', action='store', default=10, type=int,
+             help='number of points in file where to sample'),
+        _arg('-Q', '--quality', action='store', default=0, type=int,
+             help='show histogram of readlengths with given quality '
+                  'cutoff'),
+        _arg('-i', '--info', action='store_true',
+             help='output some information about FastQ file'),
+        _arg('file', help='name of .fastq file to analyze'),
+    ]),
+
+    ('summarize', dict(
+        help='reads several .json files and summarizes the results to '
+             'standard output in .csv format'),
+     cmd_summarize, [
+        _arg('json', nargs='+', help='input .json files'),
+    ]),
+
+    ('illustrate', dict(
+        help='illustrate some information contained in a .json file'),
+     cmd_illustrate, [
+        _arg('-l', '--readlengths', action='store_true',
+             help='show a histogram of readlengths'),
+        _arg('-c', '--coverage', action='store_true',
+             help='show tests/coverages sorted by testsuite'),
+        _arg('-r', '--results', action='count',
+             help='shows results of analyses'),
+        _arg('file', help='name of .json file to illustrate'),
+    ]),
+
+    ('gui', dict(help='start GUI'), cmd_gui, []),
+
+    ('info', dict(help='show infos about kvarq'), cmd_info, [
+        *_testsuite_selection_args(),
+        _spacing_arg(),
+    ]),
+
+    ('explorer', dict(help='launches the directory/json explorer'),
+     cmd_explorer, [
+        _arg('explorable', help='directory/.json file to explore'),
+    ]),
+]
+
 
 def build_parser():
     parser = argparse.ArgumentParser(description='''
@@ -354,182 +485,42 @@ def build_parser():
             information is printed on stderr -- for additional see %s
 
         ''' % get_help_path())
+    for names, kwargs in _GLOBAL_ARGS:
+        parser.add_argument(*names, **kwargs)
 
     subparsers = parser.add_subparsers(help='main command to execute')
-
-    parser.add_argument('-d', '--debug', action='store_true',
-                        help='output log information at a debug level')
-    parser.add_argument('-q', '--quiet', action='store_true',
-                        help='only output warnings/errors to stderr/log')
-    parser.add_argument('-x', '--excepthook', action='store_true',
-                        help='catch exception and launch debugger')
-    parser.add_argument('-l', '--log',
-                        help='append log to specified file (similar to '
-                             'redirecting stderr, but without progress bar)')
-    parser.add_argument('-t', '--testsuite-directory', action='append',
-                        help='specify a directory that contains '
-                             'subdirectories from which testsuites can be '
-                             'loaded; these are added to the pool of '
-                             'testsuites that can later be selected (scan, '
-                             'info) or that are autoloaded (illustrate, '
-                             'explore, update)')
-
-    parser_version = subparsers.add_parser('version',
-                                           help='show version info')
-    parser_version.set_defaults(func=version)
-
-    parser_scan = subparsers.add_parser('scan')
-    parser_scan.set_defaults(func=scan)
-    parser_scan.add_argument('-p', '--progress', action='store_true',
-                             help='shows progress bar on stdout while scanning')
-    # accepted but without effect, exactly like the reference: the flag is
-    # declared (cli.py:399-400) yet never read anywhere -- use `kvarq
-    # update` to recompute analyses from a previous scan's coverages
-    parser_scan.add_argument('-S', '--no-scan', action='store_true',
-                             help='instead of scanning the original file, the '
-                                  'provided .json file from a previous scan '
-                                  'result is used')
-    parser_scan.add_argument('-L', '--select-all', action='store_true',
-                             help='load all discovered testsuites')
-    parser_scan.add_argument('-l', '--select', action='append',
-                             help='name of a testsuite ("MTBC/phylo"), a group '
-                                  '("MTBC"), or the path of a testsuite .py file')
-    parser_scan.add_argument('-t', '--threads', action='store', type=int,
-                             default=default_config['threads'],
-                             help='number of threads for concurrent scanning '
-                                  '(default: %d)' % default_config['threads'])
-    parser_scan.add_argument('-Q', '--quality', action='store', type=int,
-                             default=default_config['quality'],
-                             help='discard nucleotides with Q score inferior '
-                                  'to this value (default=%d; i.e. p=0.05)'
-                                  % default_config['quality'])
-    parser_scan.add_argument('-e', '--errors', action='store', type=int,
-                             default=default_config['errors'],
-                             help='maximal number of errors allowed when '
-                                  'comparing base sequences (default=%d)'
-                                  % default_config['errors'])
-    parser_scan.add_argument('-r', '--readlength', action='store', type=int,
-                             default=default_config['minimum readlength'],
-                             help='minimum read length (default=%d)'
-                                  % default_config['minimum readlength'])
-    parser_scan.add_argument('-o', '--overlap', action='store', type=int,
-                             default=default_config['minimum overlap'],
-                             help='minimum read overlap (default=%d)'
-                                  % default_config['minimum overlap'])
-    parser_scan.add_argument('-s', '--spacing', action='store', type=int,
-                             default=default_config['spacing'],
-                             help='default flank length on both sides of '
-                                  'templates generated from genome (default=%d)'
-                                  % default_config['spacing'])
-    parser_scan.add_argument('-1', '--no-reverse', action='store_true',
-                             help='do not scan for hits in reverse strand')
-    parser_scan.add_argument('-P', '--no-paired', action='store_true',
-                             help='ignore paired file -- by default, the file '
-                                  '"strain_2.fastq[.gz]" is also read if '
-                                  '"strain_1.fastq[.gz]" is specified')
-    parser_scan.add_argument('--variant',
-                             choices=list(Fastq.vendor_variants.keys()),
-                             help='specify .fastq variant manually in case '
-                                  'heuristic determination fails')
-    parser_scan.add_argument('--backend',
-                             choices=['auto', 'numpy', 'xla', 'pallas'],
-                             help='engine compute backend (default: auto -- '
-                                  'pallas on TPU, xla elsewhere)')
-    parser_scan.add_argument('-f', '--force', action='store_true',
-                             help='overwrite any existing .json file')
-    parser_scan.add_argument('-H', '--hits', action='store_true',
-                             help='saves all hits in .json file')
-    parser_scan.add_argument('-x', '--extract_hits',
-                             help='stores the fastq records of all hits in '
-                                  'specified file')
-    parser_scan.add_argument('fastq', help='name of .fastq file to scan')
-    parser_scan.add_argument('json',
-                             help='name of .json file to where results are '
-                                  'stored (or loaded, see -S)')
-
-    parser_update = subparsers.add_parser(
-        'update',
-        help='update (re-calculate) testsuites based on coverages saved in '
-             '.json file; result is stored in same file')
-    parser_update.set_defaults(func=update)
-    parser_update.add_argument('json', help='name of .json file to update')
-    parser_update.add_argument('fastq', nargs='?',
-                               help='also re-calculate coverages with .fastq '
-                                    'file specified')
-
-    parser_show = subparsers.add_parser(
-        'show', help='show some information about a .fastq file')
-    parser_show.set_defaults(func=show)
-    parser_show.add_argument('-n', '--number', action='store', default=10000,
-                             type=int,
-                             help='number of records to read (applies to -Q)')
-    parser_show.add_argument('-p', '--points', action='store', default=10,
-                             type=int,
-                             help='number of points in file where to sample')
-    parser_show.add_argument('-Q', '--quality', action='store', default=0,
-                             type=int,
-                             help='show histogram of readlengths with given '
-                                  'quality cutoff')
-    parser_show.add_argument('-i', '--info', action='store_true',
-                             help='output some information about FastQ file')
-    parser_show.add_argument('file', help='name of .fastq file to analyze')
-
-    parser_summarize = subparsers.add_parser(
-        'summarize',
-        help='reads several .json files and summarizes the results to '
-             'standard output in .csv format')
-    parser_summarize.set_defaults(func=summarize)
-    parser_summarize.add_argument('json', nargs='+', help='input .json files')
-
-    parser_illustrate = subparsers.add_parser(
-        'illustrate',
-        help='illustrate some information contained in a .json file')
-    parser_illustrate.set_defaults(func=illustrate)
-    parser_illustrate.add_argument('-l', '--readlengths', action='store_true',
-                                   help='show a histogram of readlengths')
-    parser_illustrate.add_argument('-c', '--coverage', action='store_true',
-                                   help='show tests/coverages sorted by '
-                                        'testsuite')
-    parser_illustrate.add_argument('-r', '--results', action='count',
-                                   help='shows results of analyses')
-    parser_illustrate.add_argument('file',
-                                   help='name of .json file to illustrate')
-
-    parser_gui = subparsers.add_parser('gui', help='start GUI')
-    parser_gui.set_defaults(func=gui)
-
-    parser_info = subparsers.add_parser('info',
-                                        help='show infos about kvarq')
-    parser_info.add_argument('-L', '--select-all', action='store_true',
-                             help='load all discovered testsuites')
-    parser_info.add_argument('-l', '--select', action='append',
-                             help='name of a testsuite, group, or .py path')
-    parser_info.add_argument('-s', '--spacing', action='store', type=int,
-                             default=default_config['spacing'],
-                             help='default flank length on both sides of '
-                                  'templates generated from genome')
-    parser_info.set_defaults(func=info)
-
-    parser_explorer = subparsers.add_parser(
-        'explorer', help='launches the directory/json explorer')
-    parser_explorer.add_argument('explorable',
-                                 help='directory/.json file to explore')
-    parser_explorer.set_defaults(func=explorer)
-
+    for name, parser_kwargs, handler, arguments in _COMMANDS:
+        sub = subparsers.add_parser(name, **parser_kwargs)
+        sub.set_defaults(func=handler)
+        for names, kwargs in arguments:
+            sub.add_argument(*names, **kwargs)
     return parser
 
 
 parser = build_parser()
 
 
+def _debugger_excepthook(type_, value, tb):
+    ''' drop into pdb post-mortem on uncaught exceptions (-x flag) '''
+    if hasattr(sys, 'ps1') or not sys.stderr.isatty():
+        sys.__excepthook__(type_, value, tb)
+        return
+    import pdb
+    import traceback
+    traceback.print_exception(type_, value, tb)
+    print()
+    pdb.post_mortem(tb)
+
+
+# backwards-compatible alias (reference cli.py:35-43)
+traceit = _debugger_excepthook
+
+
 def main(argv=None):
-    if argv is None:
-        argv = sys.argv[1:]
-    args = parser.parse_args(argv)
+    args = parser.parse_args(sys.argv[1:] if argv is None else argv)
 
     assert not (args.debug and args.quiet), \
         'make up your mind: debug OR normal OR quiet'
-
     if args.debug:
         set_debug()
     if args.quiet:
@@ -537,12 +528,11 @@ def main(argv=None):
     if args.log:
         appendlog(args.log)
     if args.excepthook:
-        sys.excepthook = traceit
+        sys.excepthook = _debugger_excepthook
 
     if not hasattr(args, 'func'):
         parser.print_usage()
         sys.exit(ERROR_COMMAND_LINE_SWITCH)
-
     args.func(args)
 
 

@@ -1,15 +1,19 @@
 '''
-FastQ file model: vendor/PHRED variant inference, format validation, paired
-files, quality-trim helpers and record-level random access.
+FastQ input model: PHRED-variant inference, format validation, paired-file
+handling, and record-level random access (used to pull hit sequences back
+out of the file after a scan).
 
-Behavior matches reference kvarq/fastq.py (citations inline); implementation
-is Python 3 with binary-safe file handling.
+Scanning itself never goes through this class -- the native reader
+(kvarq_tpu.engine.reader) re-parses the file into device batches.  This
+module owns everything the *driver* needs to know about a FastQ file
+before and after the scan.  Validation/inference semantics follow the
+reference (kvarq/fastq.py, citations inline).
 '''
 
-import math
-import gzip
-import os.path
 import collections
+import gzip
+import math
+import os.path
 
 from kvarq_tpu.log import lo, tictoc
 
@@ -18,304 +22,347 @@ class FastqFileFormatException(Exception):
     pass
 
 
+#: printable PHRED alphabet chr(33)..chr(126) (reference fastq.py:41-42)
+PHRED_ALPHABET = ''.join(chr(c) for c in range(33, 127))
+
+VendorProperties = collections.namedtuple('VendorProperties',
+                                          ['Qrange', 'dQ'])
+
+#: vendor variants with plausible Q ranges and ASCII offsets (reference
+#: fastq.py:44-53); declaration order is also the order of reported
+#: ``Fastq.variants``
+VENDOR_VARIANTS = dict((
+    ('Sanger', VendorProperties(range(0, 50), 0)),
+    ('Solexa', VendorProperties(range(-5, 41), 31)),
+    ('Illumina 1.3+', VendorProperties(range(0, 41), 31)),
+    ('Illumina 1.5+', VendorProperties(range(3, 42), 31)),
+    ('Illumina 1.8+', VendorProperties(range(0, 62), 0)),
+))
+
+
+def find_mate(fname):
+    ''' the ``_2`` companion of an ``X_1.fastq[.gz]`` file, if it exists
+        on disk (reference fastq.py:90-98) '''
+    stem = fname[:fname.rindex('.fastq')]
+    if not stem.endswith('_1'):
+        return None
+    mate = stem[:-2] + '_2' + fname[fname.rindex('.fastq'):]
+    return mate if os.path.exists(mate) else None
+
+
 class Fastq:
 
-    # printable PHRED alphabet chr(33)..chr(126) (reference fastq.py:41-42)
-    ASCII = '!"#$%&\'()*+,-./0123456789:;<=>?@ABCDEFGHIJKLMNOPQRSTUVWXYZ' + \
-            '[\\]^_`abcdefghijklmnopqrstuvwxyz{|}~'
+    # class-level aliases kept for API compatibility
+    ASCII = PHRED_ALPHABET
+    VendorProperties = VendorProperties
+    vendor_variants = VENDOR_VARIANTS
 
-    VendorProperties = collections.namedtuple(
-        'VendorProperties', ['Qrange', 'dQ'])
-
-    # vendor variants with Q ranges and ASCII offsets (fastq.py:44-53)
-    vendor_variants = dict((
-        ('Sanger', VendorProperties(range(0, 50), 0)),
-        ('Solexa', VendorProperties(range(-5, 41), 31)),
-        ('Illumina 1.3+', VendorProperties(range(0, 41), 31)),
-        ('Illumina 1.5+', VendorProperties(range(3, 42), 31)),
-        ('Illumina 1.8+', VendorProperties(range(0, 62), 0)),
-    ))
-
-    def __init__(self, fname, variant=None, fd=None, paired=False, quiet=False):
+    def __init__(self, fname, variant=None, fd=None, paired=False,
+                 quiet=False):
         '''
-        open ``.fastq`` or ``.fastq.gz`` file and determine its vendor
-        variant, setting ``.Azero``/``.dQ`` accordingly (fastq.py:55-161)
+        open a ``.fastq``/``.fastq.gz`` file, validate a sample of its
+        records and infer the PHRED encoding (setting ``.dQ``, ``.Azero``
+        and ``.variants``)
 
-        :param paired: include ``X_2.fastq`` when ``X_1.fastq`` is given
+        :param variant: name from :py:data:`VENDOR_VARIANTS` to skip the
+            inference (only warns if incompatible with the file)
+        :param fd: pre-opened binary file object to use instead
+        :param paired: also register ``X_2.fastq`` when given ``X_1.fastq``
+        :param quiet: no info-level summary log line
         '''
         self.fname = fname
-        self.fd = fd if fd else None
-
-        if self.fname.endswith('.fastq.gz'):
-            self.gz = True
-            if not self.fd:
-                self.fd = gzip.GzipFile(self.fname, 'rb')
-        elif self.fname.endswith('.fastq'):
-            self.gz = False
-            if not self.fd:
-                self.fd = open(self.fname, 'rb')
-        else:
+        self.gz = fname.endswith('.fastq.gz')
+        if not self.gz and not fname.endswith('.fastq'):
             raise FastqFileFormatException(
                 'fastq file must have extension ".fastq" or ".fastq.gz"')
+        self.fd = fd or self._open(fname)
 
-        # detect second file of a paired set (fastq.py:90-98)
-        self.fname2 = None
-        if paired:
-            base = fname[:fname.rindex('.fastq')]
-            if base[-2:] == '_1':
-                fname2 = base[:-2] + '_2' + fname[fname.rindex('.fastq'):]
-                if os.path.exists(fname2):
-                    lo.info('including paired file "%s"' % fname2)
-                    self.fname2 = fname2
+        self.fname2 = find_mate(fname) if paired else None
+        if self.fname2 and not quiet:
+            lo.info('including paired file "%s"' % self.fname2)
 
-        if sum(self.filesizes()) == 0:
+        if not sum(self.filesizes()):
             raise FastqFileFormatException('cannot scan empty file')
 
-        # sample some records to infer PHRED range
         min_pos, max_pos = self.min_max_score_check_file()
         lo.debug('min_pos=%d max_pos=%d' % (min_pos, max_pos))
-
-        if variant and variant not in self.vendor_variants:
-            raise FastqFileFormatException(
-                'unknown vendor variant "%s"' % variant)
-
-        # variants compatible with observed PHRED scores (fastq.py:111-138)
-        variants = []
-        dQs = []
-        for name, vendor_variant in Fastq.vendor_variants.items():
-            if ((min_pos - vendor_variant.dQ) in vendor_variant.Qrange
-                    and (max_pos - vendor_variant.dQ) in vendor_variant.Qrange):
-                dQs.append(vendor_variant.dQ)
-                variants.append(name)
-
-        if variant is None:
-            if not variants:
-                raise FastqFileFormatException(
-                    'could not find any suitable fastq vendor variant')
-            if len(set(dQs)) > 1:
-                raise FastqFileFormatException(
-                    'cannot determine dQ with guessed vendor variants "%s"'
-                    % str(variants))
-            self.variants = variants
-            self.dQ = dQs[0]
-        else:
-            if variant not in variants:
-                lo.warning('specified vendor variant "%s" seems not to be '
-                           'compatible with file' % variant)
-            self.variants = [variant]
-            self.dQ = self.vendor_variants[variant].dQ
-
+        self.variants, self.dQ = self._resolve_variant(
+            variant, min_pos, max_pos)
         self.Azero = self.ASCII[self.dQ]
 
-        # estimate readlength / record count from first record (fastq.py:143-152)
+        self._estimate_dimensions()
+        if not quiet:
+            self._log_summary()
+
+    # --- opening / basic properties -------------------------------------
+
+    def _open(self, fname):
+        if self.gz:
+            return gzip.GzipFile(fname, 'rb')
+        return open(fname, 'rb')
+
+    def filenames(self):
+        return [self.fname] + ([self.fname2] if self.fname2 else [])
+
+    def filesizes(self):
+        return [os.path.getsize(f) for f in self.filenames()]
+
+    def _readline(self):
+        ''' one line from the binary handle, decoded byte-per-char '''
+        return self.fd.readline().decode('latin-1')
+
+    def _estimate_dimensions(self):
+        ''' readlength + record count guessed from the first record
+            (reference fastq.py:143-152) '''
         self.fd.seek(0)
-        lines = [self._readline() for i in range(4)]
-        self.readlength = len(lines[1].strip('\r\n'))
+        raw = [self.fd.readline() for _ in range(4)]
+        self.readlength = len(raw[1].decode('latin-1').strip('\r\n'))
         if self.gz:
             self.records_approx = None
         else:
-            self.records_approx = os.path.getsize(self.fname) // len(''.join(lines))
-            if self.fname2 is not None:
-                self.records_approx *= 2
+            per_record = len(b''.join(raw))
+            self.records_approx = (os.path.getsize(self.fname) // per_record
+                                   * len(self.filenames()))
 
-        if not quiet:
-            if self.gz:
-                lo.info('gzipped fastq : readlength=? records_approx=? '
-                        'dQ=%d variants=%s' % (self.dQ, str(self.variants)))
-            else:
-                lo.info('fastq : readlength=%d records_approx=%d dQ=%d '
-                        'variants=%s' % (self.readlength, self.records_approx,
-                                         self.dQ, str(self.variants)))
+    def _log_summary(self):
+        if self.gz:
+            lo.info('gzipped fastq : readlength=? records_approx=? '
+                    'dQ=%d variants=%s' % (self.dQ, str(self.variants)))
+        else:
+            lo.info('fastq : readlength=%d records_approx=%d dQ=%d '
+                    'variants=%s' % (self.readlength, self.records_approx,
+                                     self.dQ, str(self.variants)))
 
-    def _readline(self):
-        ''' read one line from the (binary) file handle as str '''
-        return self.fd.readline().decode('latin-1')
+    # --- variant inference ----------------------------------------------
 
-    def filesizes(self):
-        return [os.path.getsize(fname) for fname in self.filenames()]
+    def _resolve_variant(self, requested, min_pos, max_pos):
+        '''
+        match observed PHRED extremes against the vendor table; an
+        explicitly requested variant always wins (with a warning when the
+        observed scores don't fit it) -- reference fastq.py:111-138
+        '''
+        if requested and requested not in VENDOR_VARIANTS:
+            raise FastqFileFormatException(
+                'unknown vendor variant "%s"' % requested)
 
-    def filenames(self):
-        if self.fname2 is not None:
-            return [self.fname, self.fname2]
-        return [self.fname]
+        compatible = [name for name, props in VENDOR_VARIANTS.items()
+                      if min_pos - props.dQ in props.Qrange
+                      and max_pos - props.dQ in props.Qrange]
+
+        if requested:
+            if requested not in compatible:
+                lo.warning('specified vendor variant "%s" seems not to be '
+                           'compatible with file' % requested)
+            return [requested], VENDOR_VARIANTS[requested].dQ
+
+        if not compatible:
+            raise FastqFileFormatException(
+                'could not find any suitable fastq vendor variant')
+        dQs = set(VENDOR_VARIANTS[name].dQ for name in compatible)
+        if len(dQs) > 1:
+            raise FastqFileFormatException(
+                'cannot determine dQ with guessed vendor variants "%s"'
+                % str(compatible))
+        return compatible, dQs.pop()
+
+    # --- record sampling -------------------------------------------------
+
+    def _sample_records(self, budget, points):
+        '''
+        yield ``(identifier, bases, separator, phred)`` tuples (line
+        endings stripped) sampled across the file.  The shrinking-budget
+        loop reproduces the reference (fastq.py:176-238, :263-293): in
+        practice the whole budget is consumed sequentially from the first
+        point, and the remaining seek positions only come into play when
+        the file ends early.  A blank identifier line is yielded as an
+        all-empty tuple *without* consuming further lines, leaving the
+        file position right after it.
+        '''
+        self.fd.seek(0)
+        if self.gz:
+            lo.debug('gzipped fastq : scan %d points at start only' % budget)
+
+        for point in range(points):
+            if point and not self.gz:
+                self.fd.seek(os.path.getsize(self.fname) * point // points)
+                self.seekback()
+
+            while budget > (points - 1 - point) * budget // points:
+                budget -= 1
+                identifier = self._readline().rstrip('\n\r')
+                if not identifier:
+                    yield '', '', '', ''
+                else:
+                    yield (identifier,) + tuple(
+                        self._readline().rstrip('\n\r') for _ in range(3))
+
+    @staticmethod
+    def _validate_record(identifier, bases, separator, phred):
+        ''' per-record format checks (reference fastq.py:200-236); raises
+            with the reference messages '''
+        if not identifier.startswith('@'):
+            raise FastqFileFormatException(
+                'identifier (1st line of record) must begin with "@"')
+        if not set(bases) <= set('AGCTN'):
+            raise FastqFileFormatException(
+                'bases (2nd line of record) must contain only AGCTN')
+        if not (separator.startswith('+')
+                and separator[1:] in ('', identifier[1:])):
+            raise FastqFileFormatException(
+                'separator (3rd line of record) must be == "+" or "+(ident)"')
+        if not (len(phred) == len(bases)
+                or (len(phred) == len(bases) + 1 and phred[-1] == '!')):
+            raise FastqFileFormatException(
+                'bases must be ~ same length as phred score (2nd, 4th line)')
+
+    def _check_only_blank_until_eof(self):
+        ''' blank lines may pad the end of the file, nothing else '''
+        while True:
+            line = self._readline()
+            if not line:
+                return
+            if line.rstrip('\r\n'):
+                raise FastqFileFormatException(
+                    'non-empty line after empty line (fpos=%d'
+                    % self.fd.tell())
 
     def min_max_score_check_file(self, n=1000, points=10):
         '''
-        check fastq file format and return min/max PHRED score positions
-        within :py:data:`ASCII`; samples ``n`` records at ``points`` spots
-        (start only for gz) -- reference fastq.py:176-238
+        validate a sample of records and return the positions (within
+        :py:data:`PHRED_ALPHABET`) of the lowest/highest quality score
+        observed
         '''
-        ret_min = +999
-        ret_max = -999
-        self.fd.seek(0)
-
-        if self.gz:
-            lo.debug('gzipped fastq : scan %d points at start only' % n)
-
-        identifier = None
-        for point in range(points):
-
-            if not self.gz and point > 0:
-                # (oversamples small files)
-                self.fd.seek(os.path.getsize(self.fname) * point // points)
-                self.seekback()
-
-            while n > (points - 1 - point) * n // points:
-                identifier = self._readline().rstrip('\n\r')
-                if not identifier:
-                    break
-                if not identifier[0] == '@':
-                    raise FastqFileFormatException(
-                        'identifier (1st line of record) must begin with "@"')
-                bases = self._readline().rstrip('\n\r')
-                if not set(bases).issubset(set('AGCTN')):
-                    raise FastqFileFormatException(
-                        'bases (2nd line of record) must contain only AGCTN')
-                plus = self._readline().rstrip('\n\r')
-                if not (plus == '+' or (plus[0] == '+'
-                                        and plus[1:] == identifier[1:])):
-                    raise FastqFileFormatException(
-                        'separator (3rd line of record) must be == "+" or "+(ident)"')
-                phredstr = self._readline().rstrip('\n\r')
-                if not (len(bases) == len(phredstr) or (
-                        len(bases) == len(phredstr) - 1 and phredstr[-1] == '!')):
-                    raise FastqFileFormatException(
-                        'bases must be ~ same length as phred score (2nd, 4th line)')
-                try:
-                    ret_min = min(ret_min, *[self.ASCII.index(x) for x in phredstr])
-                    ret_max = max(ret_max, *[self.ASCII.index(x) for x in phredstr])
-                except ValueError:
-                    raise FastqFileFormatException(
-                        'phred score (4th line of record) must contain only "%s"'
-                        % self.ASCII)
-                n -= 1
-
+        lowest, highest = len(self.ASCII), -1
+        hit_eof = False
+        for identifier, bases, separator, phred in \
+                self._sample_records(n, points):
             if not identifier:
+                hit_eof = True
                 break
+            self._validate_record(identifier, bases, separator, phred)
+            try:
+                positions = [self.ASCII.index(a) for a in phred]
+            except ValueError:
+                raise FastqFileFormatException(
+                    'phred score (4th line of record) must contain only '
+                    '"%s"' % self.ASCII)
+            lowest = min(lowest, *positions)
+            highest = max(highest, *positions)
 
-        if not identifier:
-            # only empty lines allowed after the first empty line
-            while True:
-                line = self._readline()
-                if not line:
-                    break
-                if not line.rstrip('\r\n') == '':
-                    raise FastqFileFormatException(
-                        'non-empty line after empty line (fpos=%d' % self.fd.tell())
+        if hit_eof:
+            self._check_only_blank_until_eof()
+        return lowest, highest
 
-        return ret_min, ret_max
+    def lengths(self, Amin, n=1000, points=10):
+        ''' sample the lengths of quality-trimmed reads (for the ``show
+            -Q`` histogram); reads that trim away completely are skipped '''
+        out = []
+        for _, _, _, phred in self._sample_records(n, points):
+            _, length = self.cutoff(phred, Amin)
+            if length >= 0:
+                out.append(length)
+        return out
+
+    # --- quality scores ----------------------------------------------------
 
     def A2Q(self, A):
-        ''' translate PHRED ASCII value to Q value '''
+        ''' PHRED ASCII char -> Q value '''
         return self.ASCII.index(A) - self.dQ
 
     def Q2A(self, Q):
-        ''' inverse of A2Q() '''
+        ''' Q value -> PHRED ASCII char '''
         return self.ASCII[Q + self.dQ]
 
     def Q2p(self, Q):
-        ''' translate PHRED Q value to probability '''
+        ''' Q value -> error probability '''
         return 10 ** (-.1 * Q)
 
     def p2Q(self, p):
-        ''' inverse of Q2p() '''
+        ''' error probability -> Q value '''
         return int(-10 * math.log(p) / math.log(10))
 
-    def lengths(self, Amin, n=1000, points=10):
-        '''
-        sample lengths of quality-trimmed records (fastq.py:263-293)
-        '''
-        self.fd.seek(0)
-
-        if self.gz:
-            lo.debug('gzipped fastq : scan %d points at start only' % n)
-
-        lengths = []
-        for point in range(points):
-
-            if not self.gz and point > 0:
-                self.fd.seek(os.path.getsize(self.fname) * point // points)
-                self.seekback()
-
-            while n > (points - 1 - point) * n // points:
-                ident, seq, plus, scores = (self._readline().strip()
-                                            for j in range(4))
-                pos, length = self.cutoff(scores, Amin)
-                if length >= 0:
-                    lengths.append(length)
-
-                n -= 1
-        return lengths
-
     def cutoff(self, scores, Amin):
-        ''' :returns: ``pos, length`` of the longest run of quality >= ``Amin``
-            (first longest run wins; reference fastq.py:295-308) '''
-        length = -1
-        pos_ = pos = 0
-        for j, A in enumerate(scores):
-            if ord(A) >= ord(Amin):
-                if pos < 0:
-                    pos = j
-            else:
-                if pos >= 0 and length < j - pos:
-                    length = j - pos
-                    pos_ = pos
-                pos = -1
-        return pos_, length
+        '''
+        ``(position, length)`` of the first longest run of quality chars
+        ``>= Amin``.
+
+        Candidate runs are maximal runs *terminated by* a low-quality
+        character: a final run extending to the end of the read is not
+        considered, and a leading low-quality character registers a
+        zero-length run at position 0.  These quirks come from the
+        reference implementation (kvarq/fastq.py:295-308) and are pinned
+        by tests; the on-device trim (which handles the final run) lives
+        in the engine and matches workhorse.c:1055-1070 instead.
+        '''
+        best_pos, best_len = 0, -1
+        run_start = 0
+        for j, ch in enumerate(scores):
+            if ch >= Amin:
+                if run_start < 0:
+                    run_start = j
+            elif run_start >= 0:
+                if j - run_start > best_len:
+                    best_pos, best_len = run_start, j - run_start
+                run_start = -1
+        return best_pos, best_len
+
+    # --- record-level random access ---------------------------------------
 
     def readhit(self, hit):
-        ''' :param hit: a :py:class:`kvarq_tpu.engine.Hit`
-            :returns: the overlapping base string from the file '''
-        if hit.seq_pos < 0:
-            self.fd.seek(hit.file_pos - hit.seq_pos)
-        else:
-            self.fd.seek(hit.file_pos)
+        ''' the overlapping bases of a :py:class:`kvarq_tpu.engine.Hit`,
+            read back from the file (``file_pos`` counts decompressed
+            bytes, which is also what ``GzipFile.seek`` expects) '''
+        offset = hit.file_pos - min(hit.seq_pos, 0)
+        self.fd.seek(offset)
         return self.fd.read(hit.length).decode('latin-1')
-
-    def lineup(self):
-        ''' move file position to beginning of current line (or of previous
-            line if already at a line start) '''
-        pos = self.fd.tell()
-        c = None
-        while c != b'\n' and pos > 0:
-            pos -= 1
-            self.fd.seek(max(0, pos - 1))
-            c = self.fd.read(1)
-        if pos == 0:
-            self.fd.seek(0)
-
-    def seekback(self):
-        ''' move file pointer to beginning of current/previous record '''
-        l = pos = None
-        while pos != 0:
-            self.lineup()
-            l = self.fd.readline()
-            self.lineup()
-            if l[0:1] == b'+':
-                self.lineup()
-                # previous + could be from quality score...
-                l = self.fd.readline()
-                self.lineup()
-                if l[0:1] == b'+':
-                    self.lineup()
-                self.lineup()
-                break
-            pos = self.fd.tell()
-
-    def readrecord(self):
-        ''' read one record; ``fd`` must point at its first character '''
-        ident, seq, plus, scores = (self._readline().strip()
-                                    for j in range(4))
-        return ident, seq, plus, scores
-
-    def readrecordat(self, hit):
-        ''' :returns: the four .fastq lines of the record containing ``hit`` '''
-        self.fd.seek(hit.file_pos)
-        self.seekback()
-        ident, seq, plus, scores = self.readrecord()  # previous record
-        ident, seq, plus, scores = self.readrecord()  # our record
-        return '\n'.join([ident, seq, plus, scores]) + '\n'
 
     @tictoc('fastq.readhits')
     def readhits(self, hits):
         return [self.readhit(hit) for hit in hits]
+
+    def lineup(self):
+        ''' rewind the file position to the start of the current line (or
+            of the previous line when already at a line start) '''
+        pos = self.fd.tell()
+        while pos > 0:
+            pos -= 1
+            self.fd.seek(max(0, pos - 1))
+            if self.fd.read(1) == b'\n':
+                break
+        if pos == 0:
+            self.fd.seek(0)
+
+    def seekback(self):
+        '''
+        rewind to the start of the current/previous record: walk line
+        starts backwards until one begins with ``+``, which anchors the
+        separator line (a second ``+`` immediately above means the quality
+        line itself starts with ``+`` and the true separator is that upper
+        line) -- reference fastq.py:320-351
+        '''
+        while True:
+            self.lineup()
+            line = self.fd.readline()
+            self.lineup()
+            if line[0:1] == b'+':
+                self.lineup()
+                probe = self.fd.readline()
+                self.lineup()
+                if probe[0:1] == b'+':
+                    self.lineup()
+                self.lineup()
+                return
+            if self.fd.tell() == 0:
+                return
+
+    def readrecord(self):
+        ''' the four lines of the record at the current file position '''
+        return tuple(self._readline().strip() for _ in range(4))
+
+    def readrecordat(self, hit):
+        ''' full FastQ record containing ``hit``, as one ``str`` (used by
+            ``scan --extract-hits``) '''
+        self.fd.seek(hit.file_pos)
+        self.seekback()
+        self.readrecord()                  # skip the record before ours
+        return '\n'.join(self.readrecord()) + '\n'

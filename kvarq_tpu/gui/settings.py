@@ -1,72 +1,79 @@
 '''
-Settings dialog: edits the integer values of ``default_config``
-(reference kvarq/gui/settings.py).
+Settings dialog: a simple form over the (all-integer) scan parameters in
+``kvarq_tpu.config.default_config``; values are applied on "save" only.
 '''
 
 import tkinter as tk
 import tkinter.messagebox as tkmessagebox
 
-from kvarq_tpu.gui.util import open_help, ThemedTk
+from kvarq_tpu.gui.util import ThemedTk, open_help
+
+
+def parse_int_settings(raw):
+    ''' validate a ``{name: entry-string}`` form; returns ``(values,
+        offending_name)`` where exactly one of the two is ``None`` '''
+    values = {}
+    for name, text in raw.items():
+        try:
+            values[name] = int(text)
+        except ValueError:
+            return None, name
+    return values, None
 
 
 class Settings:
 
+    ''' holds the live config dict and (re)opens the edit dialog '''
+
     def __init__(self, config):
         self.config = config
+        self.entries = {}
 
     def show(self):
         self.win = ThemedTk(title='settings')
         self.win.rowconfigure(1, weight=1)
         self.win.columnconfigure(1, weight=1)
+        self.win.rowconfigure(0, minsize=10)
 
-        row = 0
-        self.win.rowconfigure(row, minsize=10)
-        row += 1
-
-        label = tk.Label(self.win, text='Engine configuration',
-                         font=self.win.boldfont)
-        label.grid(row=row, column=0, columnspan=2, sticky='w')
-        self.show_help = tk.Button(self.win, text='?',
-                                   command=self.launch_help)
-        self.show_help.grid(row=row, column=2, sticky='e')
+        header = tk.Label(self.win, text='Engine configuration',
+                          font=self.win.boldfont)
+        header.grid(row=1, column=0, columnspan=2, sticky='w')
+        tk.Button(self.win, text='?', command=self.launch_help) \
+            .grid(row=1, column=2, sticky='e')
 
         self.entries = {}
-        for name in self.config.keys():
+        row = 1
+        for name, value in self.config.items():
             row += 1
-            label = tk.Label(self.win, text=name)
-            label.grid(row=row, column=0, sticky='w')
-            self.entries[name] = tk.Entry(self.win)
-            self.entries[name].grid(row=row, column=1, columnspan=2,
-                                    sticky='ew')
-            self.entries[name].insert(0, self.config[name])
+            tk.Label(self.win, text=name).grid(row=row, column=0,
+                                               sticky='w')
+            entry = tk.Entry(self.win)
+            entry.grid(row=row, column=1, columnspan=2, sticky='ew')
+            entry.insert(0, value)
+            self.entries[name] = entry
 
-        row += 1
-        self.win.rowconfigure(row, minsize=10)
-        row += 1
-        frame = tk.Frame(self.win)
-        frame.grid(row=row, column=0, columnspan=3)
-        save = tk.Button(frame, text='save', command=self.save_cb)
-        save.pack(side='left')
-        cancel = tk.Button(frame, text='cancel', command=self.cancel_cb)
-        cancel.pack(side='left')
-        self.win.bind('<Escape>', lambda x: self.win.close())
+        self.win.rowconfigure(row + 1, minsize=10)
+        buttons = tk.Frame(self.win)
+        buttons.grid(row=row + 2, column=0, columnspan=3)
+        tk.Button(buttons, text='save', command=self.save_cb) \
+            .pack(side='left')
+        tk.Button(buttons, text='cancel', command=self.cancel_cb) \
+            .pack(side='left')
+        self.win.bind('<Escape>', lambda _: self.win.close())
 
-    def launch_help(self, e=None):
+    def launch_help(self, _=None):
         open_help(page='gui', anchor='configuring-kvarq')
 
-    def save_cb(self, e=None):
-        # all parameters are integers (reference gui/settings.py:60-76)
-        newconfig = dict(self.config)
-        for name in self.config.keys():
-            try:
-                newconfig[name] = int(self.entries[name].get())
-            except ValueError:
-                tkmessagebox.showerror(
-                    'invalid value',
-                    'parameter "%s" must be an integer' % name)
-                return
-        self.config.update(newconfig)
+    def save_cb(self, _=None):
+        raw = {name: entry.get() for name, entry in self.entries.items()}
+        values, offending = parse_int_settings(raw)
+        if offending is not None:
+            tkmessagebox.showerror(
+                'invalid value',
+                'parameter "%s" must be an integer' % offending)
+            return
+        self.config.update(values)
         self.win.destroy()
 
-    def cancel_cb(self, e=None):
+    def cancel_cb(self, _=None):
         self.win.destroy()

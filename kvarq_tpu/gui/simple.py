@@ -1,8 +1,8 @@
 '''
-Scan wizard (reference kvarq/gui/simple.py): multi-file selection with
-``_1/_2`` pair merging, testsuite checkbox selector, scan on a worker
-thread with 100 ms progress polling, then show results in the explorer or
-save per-file ``.json`` s.
+Scan wizard: pick ``.fastq`` files (with automatic ``_1``/``_2`` pair
+merging), tick testsuites, scan each file on a worker thread with a live
+progress readout, then show the results in the explorer or save them as
+``.json`` files.
 '''
 
 import json
@@ -14,16 +14,47 @@ import tkinter.filedialog as tkfiledialog
 import tkinter.messagebox as tkmessagebox
 
 from kvarq_tpu import analyse, engine
-from kvarq_tpu.log import lo, tic, toc
-from kvarq_tpu.fastq import Fastq, FastqFileFormatException
-from kvarq_tpu.util import ProgressBar
 from kvarq_tpu.config import config_params
-from kvarq_tpu.testsuites import load_testsuites
+from kvarq_tpu.fastq import Fastq, FastqFileFormatException
 from kvarq_tpu.gui.explorer import JsonExplorer
 from kvarq_tpu.gui.util import ThemedTk, askopenfilename
+from kvarq_tpu.log import lo, tic, toc
+from kvarq_tpu.testsuites import load_testsuites
+from kvarq_tpu.util import ProgressBar
 
 
-class AnalyseThread(threading.Thread):
+def pair_fastqs(fastqs):
+    ''' sort the selected files and merge ``X_1.fastq``/``X_2.fastq``
+        neighbors into single paired scans;
+        :returns: ``(files, paired_flags)`` of equal length '''
+    ordered = sorted(fastqs)
+    files, paired = [], []
+    i = 0
+    while i < len(ordered):
+        stem = ordered[i][:ordered[i].rindex('.fastq')]
+        mate_found = False
+        if i + 1 < len(ordered) and len(stem) > 2 and stem.endswith('_1'):
+            next_stem = ordered[i + 1][:ordered[i + 1].rindex('.fastq')]
+            mate_found = next_stem == stem[:-2] + '_2'
+        files.append(ordered[i])
+        paired.append(mate_found)
+        i += 2 if mate_found else 1
+    return files, paired
+
+
+def unique_json_path(directory, fastq_name):
+    ''' a non-existing ``.json`` path for a scanned fastq '''
+    base = os.path.splitext(os.path.basename(fastq_name))[0]
+    while True:
+        path = os.path.join(directory, base + '.json')
+        if not os.path.exists(path):
+            return path
+        base += '_'
+
+
+class ScanWorker(threading.Thread):
+
+    ''' runs ``Analyser.scan`` off the GUI thread '''
 
     def __init__(self, analyser, fastq, testsuites):
         super().__init__(name='analyse-thread')
@@ -48,22 +79,17 @@ class AnalyseThread(threading.Thread):
 
 class TestsuiteSelector(ThemedTk):
 
+    ''' checkbox list of all discovered testsuites '''
+
     def __init__(self, testsuite_paths):
         ThemedTk.__init__(self)
         tk.Label(self, text='select testsuites for scan:').pack(anchor='w')
 
-        self.values = {}
+        self.values = dict.fromkeys(testsuite_paths, False)
         self.buttons = []
         for name in sorted(testsuite_paths):
-            self.values[name] = False
-
-            def make_toggle(name):
-                def toggle(e=None):
-                    self.values[name] = not self.values[name]
-                return toggle
-
             button = tk.Checkbutton(self, text=name,
-                                    command=make_toggle(name))
+                                    command=self._toggler(name))
             button.pack(anchor='w')
             self.buttons.append(button)
 
@@ -71,12 +97,17 @@ class TestsuiteSelector(ThemedTk):
         self.closed = False
         self.protocol('WM_DELETE_WINDOW', self.closing)
 
-    def closing(self, e=None):
+    def _toggler(self, name):
+        def toggle(_=None):
+            self.values[name] = not self.values[name]
+        return toggle
+
+    def closing(self, _=None):
         self.closed = True
         self.destroy()
 
     def selection(self):
-        return [name for name, value in self.values.items() if value]
+        return [name for name, on in self.values.items() if on]
 
     def disable(self):
         if not self.closed:
@@ -85,73 +116,58 @@ class TestsuiteSelector(ThemedTk):
         self.disabled = True
 
 
-def pair_fastqs(fastqs):
-    ''' sort selected files and merge ``X_1.fastq`` / ``X_2.fastq`` pairs
-        into single paired scans (reference gui/simple.py:166-199) '''
-    fastqs = sorted(fastqs)
-    paireds = []
-    idx = 0
-    while idx < len(fastqs) - 1:
-        base1 = fastqs[idx][:fastqs[idx].rindex('.fastq')]
-        base2 = fastqs[idx + 1][:fastqs[idx + 1].rindex('.fastq')]
-        if (len(base1) > 2 and len(base2) > 2 and base1[-2:] == '_1'
-                and base2[-2:] == '_2' and base1[:-2] == base2[:-2]):
-            paireds.append(True)
-            del fastqs[idx + 1]
-        else:
-            paireds.append(False)
-        idx += 1
-    paireds.append(False)
-    return fastqs, paireds
-
-
 class SimpleGUI(ThemedTk):
+
+    POLL_MS = 100
 
     def __init__(self, settings, testsuites, testsuite_paths):
         self.settings = settings
-        self.testsuites = testsuites        # all loaded testsuites
+        self.testsuites = testsuites          # cache of loaded testsuites
         self.testsuite_paths = testsuite_paths
 
         self.fastqi = -1
         self.analysers = {}
         self.fastqs, self.paireds = self.askfastqs()
         if self.fastqs is not None:
-            self.init_gui()
+            self._build_window()
             self.next_fastq()
 
-    def init_gui(self):
+    # --- window ----------------------------------------------------------
+
+    def _build_window(self):
         ThemedTk.__init__(self, title='scan .fastq files')
         self.bind('<Destroy>', self.destroy_cb)
 
         self.selector = TestsuiteSelector(self.testsuite_paths)
         self.selected_testsuites = {}
         self.analyser = None
+        self.worker = None
         self.running = False
         self.save_hits = False
 
-        frame = tk.Frame(self)
-        self.fname = tk.Label(frame)
+        top = tk.Frame(self)
+        self.fname = tk.Label(top)
         self.fname.pack(side=tk.LEFT)
-        frame.pack(side=tk.TOP, expand=False, fill=tk.X)
+        top.pack(side=tk.TOP, expand=False, fill=tk.X)
 
-        frame = tk.Frame(self)
-        self.start = tk.Button(frame, text='start', command=self.startstop,
-                               state=tk.DISABLED)
+        middle = tk.Frame(self)
+        self.start = tk.Button(middle, text='start',
+                               command=self.startstop, state=tk.DISABLED)
         self.start.pack(side=tk.LEFT)
         self.pb = ProgressBar(total=1., r='')
         self.pb_longest = 0
-        self.pblabel = tk.Label(frame, text=' ' * 70, font=self.monospace)
+        self.pblabel = tk.Label(middle, text=' ' * 70, font=self.monospace)
         self.pblabel.pack(side=tk.LEFT)
-        frame.pack(side=tk.TOP, expand=False, fill=tk.X)
+        middle.pack(side=tk.TOP, expand=False, fill=tk.X)
 
-        frame = tk.Frame(self)
-        self.show = tk.Button(frame, text='show', command=self.show_cb,
+        bottom = tk.Frame(self)
+        self.show = tk.Button(bottom, text='show', command=self.show_cb,
                               state=tk.DISABLED)
         self.show.pack(side=tk.LEFT)
-        self.save = tk.Button(frame, text='save', command=self.save_cb,
+        self.save = tk.Button(bottom, text='save', command=self.save_cb,
                               state=tk.DISABLED)
         self.save.pack(side=tk.LEFT)
-        frame.pack(side=tk.TOP, expand=False, fill=tk.X)
+        bottom.pack(side=tk.TOP, expand=False, fill=tk.X)
 
         if len(self.fastqs) > 1:
             self.show.config(text='show last')
@@ -160,31 +176,39 @@ class SimpleGUI(ThemedTk):
         self.resizable(0, 0)
         self.protocol('WM_DELETE_WINDOW', self.closing)
 
-    def closing(self, e=None):
+    def closing(self, _=None):
         if not self.selector.closed:
             self.selector.destroy()
         self.destroy()
 
+    def destroy_cb(self, _=None):
+        if self.running:
+            self.worker.stop()
+            self.worker.join()
+
+    # --- file iteration -----------------------------------------------------
+
     def askfastqs(self):
-        ''' :returns: ``(fastqs, paireds)`` -- selected files with booleans
-            marking paired scans -- or ``(None, None)`` if canceled '''
-        fastqs = askopenfilename(
+        ''' :returns: ``(files, paired_flags)`` or ``(None, None)`` when
+            the dialog was canceled '''
+        picked = askopenfilename(
             initialdir=os.getcwd(), multiple=True,
             filetypes=[('fastq files', '*.fastq'),
                        ('compressed fastq files', '*.fastq.gz')],
             title='select .fastq files to analyze')
-        if not fastqs:
+        if not picked:
             return None, None
-        return pair_fastqs(list(fastqs))
+        return pair_fastqs(picked)
 
     def has_more_fastq(self):
         return self.fastqi + 1 < len(self.fastqs)
 
     def next_fastq(self):
-        n = len(self.fastqs)
+        ''' advance to the next loadable file; :returns: success '''
+        total = len(self.fastqs)
         while True:
             self.fastqi += 1
-            if self.fastqi >= n:
+            if self.fastqi >= total:
                 return False
             try:
                 self.fastq = Fastq(self.fastqs[self.fastqi],
@@ -192,60 +216,74 @@ class SimpleGUI(ThemedTk):
             except FastqFileFormatException as e:
                 lo.error('cannot load file %s : %s'
                          % (self.fastqs[self.fastqi], e))
-                if n == 1:
+                if total == 1:
                     tkmessagebox.showerror(
                         'invalid .fastq file',
                         'the selected file cannot be parsed : ' + str(e))
                 continue
 
-            if n == 1:
-                self.fname.config(text=self.fastq.fname)
-            else:
-                self.fname.config(text='%s (file %d/%d)' % (
-                    self.fastq.fname, self.fastqi + 1, n))
+            label = self.fastq.fname
+            if total > 1:
+                label += ' (file %d/%d)' % (self.fastqi + 1, total)
+            self.fname.config(text=label)
             self.start.config(state=tk.NORMAL)
             return True
 
-    def startstop(self):
-        if not self.selected_testsuites:
-            selection = self.selector.selection()
-            if not selection:
-                tkmessagebox.showerror(
-                    'no testsuite selected',
-                    'please select at least one testsuite before scanning')
-                if self.selector.closed:
-                    self.selector = TestsuiteSelector(self.testsuite_paths)
-                return
-            difference = set(selection) - set(self.testsuites.keys())
-            self.selector.disable()
-            self.testsuites.update(
-                load_testsuites(self.testsuite_paths, difference))
-            for name in selection:
-                self.selected_testsuites[name] = self.testsuites[name]
+    # --- scanning ------------------------------------------------------------
 
-        if not self.running:
-            self.analyser = analyse.Analyser()
-            engine.config(**config_params(self.settings.config, self.fastq))
-            self.at = AnalyseThread(self.analyser, self.fastq,
-                                    self.selected_testsuites)
-            self.t0 = time.time()
-            self.at.start()
-            self.pb.start()
-            self.after(100, self.update)
-            lo.info('start scanning %s (%d MB)' % (
-                self.fastq.fname,
-                os.path.getsize(self.fastq.fname) // 1024 ** 2))
-            self.running = True
-            self.start.config(text='stop')
-        else:
-            if self.has_more_fastq():
-                if self.next_fastq():
-                    self.start.config(text='start next')
-                else:
-                    self.start.config(state=tk.DISABLED)
+    def _ensure_selection(self):
+        ''' resolve the selector checkboxes into loaded testsuites;
+            :returns: False when nothing is selected '''
+        if self.selected_testsuites:
+            return True
+        selection = self.selector.selection()
+        if not selection:
+            tkmessagebox.showerror(
+                'no testsuite selected',
+                'please select at least one testsuite before scanning')
+            if self.selector.closed:
+                self.selector = TestsuiteSelector(self.testsuite_paths)
+            return False
+        missing = set(selection) - set(self.testsuites.keys())
+        self.selector.disable()
+        self.testsuites.update(
+            load_testsuites(self.testsuite_paths, missing))
+        self.selected_testsuites = {name: self.testsuites[name]
+                                    for name in selection}
+        return True
+
+    def startstop(self):
+        if not self._ensure_selection():
+            return
+
+        if self.running:
+            # "stop" clicked: poll() notices and wraps up partial results
+            if self.has_more_fastq() and self.next_fastq():
+                self.start.config(text='start next')
             else:
                 self.start.config(state=tk.DISABLED)
             self.running = False
+            return
+
+        self.analyser = analyse.Analyser()
+        engine.config(**config_params(self.settings.config, self.fastq))
+        self.worker = ScanWorker(self.analyser, self.fastq,
+                                 self.selected_testsuites)
+        self.t0 = time.time()
+        self.worker.start()
+        self.pb.start()
+        self.after(self.POLL_MS, self.poll)
+        lo.info('start scanning %s (%d MB)'
+                % (self.fastq.fname,
+                   os.path.getsize(self.fastq.fname) // 1024 ** 2))
+        self.running = True
+        self.start.config(text='stop')
+
+    def _show_progress(self):
+        self.pb.update(engine.stats()['progress'])
+        text = str(self.pb)
+        self.pb_longest = max(self.pb_longest, len(text))
+        self.pblabel.config(text=text.ljust(self.pb_longest))
 
     def finish_scanning(self):
         lo.info('analyzing data...')
@@ -255,49 +293,44 @@ class SimpleGUI(ThemedTk):
         self.show.config(state=tk.NORMAL)
         self.save.config(state=tk.NORMAL)
 
-    def update(self):
+    def poll(self):
         if not self.running:
             # "stop" was clicked: compute results from partial data
-            self.at.stop()
+            self.worker.stop()
             lo.info('STOPPED scanning via GUI after %.3f seconds'
                     % (time.time() - self.t0))
             self.finish_scanning()
-            self.running = False
-            self.at = None
+            self.worker = None
             return
 
-        stats = engine.stats()
-        self.pb.update(stats['progress'])
-        pb_str = str(self.pb)
-        self.pb_longest = max(self.pb_longest, len(pb_str))
-        self.pblabel.config(
-            text=('{:<%d}' % self.pb_longest).format(pb_str))
+        self._show_progress()
 
-        if self.at.finished or self.at.exception:
-            self.at.join()
-            self.start.config(state=tk.DISABLED)
-            if self.at.finished:
-                lo.info('finished scanning after %.3f seconds'
-                        % (time.time() - self.t0))
-                pb_str = str(self.pb)
-                self.pblabel.config(
-                    text=pb_str[:pb_str.index(']') + 1] + ' -- done')
-                self.finish_scanning()
-            if self.at.exception:
-                lo.error('could not scan %s : %s'
-                         % (self.fastq.fname, self.at.exception))
-                tkmessagebox.showerror(
-                    'could not scan',
-                    'the scanning of the file "%s" could not be '
-                    'completed : %s' % (self.fastq.fname,
-                                        self.at.exception))
-            self.running = False
-            self.at = None
-            if self.next_fastq():
-                self.startstop()
+        if not (self.worker.finished or self.worker.exception):
+            self.after(self.POLL_MS, self.poll)
             return
 
-        self.after(100, self.update)
+        # worker done (or died)
+        self.worker.join()
+        self.start.config(state=tk.DISABLED)
+        if self.worker.finished:
+            lo.info('finished scanning after %.3f seconds'
+                    % (time.time() - self.t0))
+            text = str(self.pb)
+            self.pblabel.config(text=text[:text.index(']') + 1] + ' -- done')
+            self.finish_scanning()
+        if self.worker.exception:
+            lo.error('could not scan %s : %s'
+                     % (self.fastq.fname, self.worker.exception))
+            tkmessagebox.showerror(
+                'could not scan',
+                'the scanning of the file "%s" could not be completed : %s'
+                % (self.fastq.fname, self.worker.exception))
+        self.running = False
+        self.worker = None
+        if self.next_fastq():
+            self.startstop()
+
+    # --- results -----------------------------------------------------------
 
     def show_cb(self):
         if self.analyser.results is None:
@@ -307,42 +340,30 @@ class SimpleGUI(ThemedTk):
         JsonExplorer(self.analyser, testsuites=self.testsuites,
                      testsuite_paths=self.testsuite_paths)
 
+    def _save_one(self, analyser, fd):
+        tic('dumping json')
+        json.dump(analyser.encode(hits=self.save_hits), fd, indent=2)
+        toc('dumping json')
+
     def save_cb(self):
         if len(self.analysers) == 1:
-            jf = tkfiledialog.asksaveasfile(
+            fd = tkfiledialog.asksaveasfile(
                 parent=self,
                 initialfile=os.path.splitext(os.path.basename(
                     self.fastq.fname))[0] + '.json',
                 initialdir=os.path.dirname(self.fastq.fname),
                 defaultextension='.json',
                 title='select .json to store results of scan')
-            if not jf:
-                return
-            tic('dumping json')
-            json.dump(self.analyser.encode(hits=self.save_hits), jf,
-                      indent=2)
-            toc('dumping json')
-        else:
-            jd = tkfiledialog.askdirectory(
-                parent=self,
-                title='select directory to store .json files')
-            if not jd:
-                return
-            for fastq, analyser in self.analysers.items():
-                base = os.path.splitext(os.path.basename(fastq))[0]
-                while True:
-                    jsonfn = os.path.join(jd, base + '.json')
-                    if not os.path.exists(jsonfn):
-                        break
-                    base += '_'
-                lo.info('saving to ' + jsonfn)
-                tic('dumping json')
-                with open(jsonfn, 'w') as f:
-                    json.dump(analyser.encode(hits=self.save_hits), f,
-                              indent=2)
-                toc('dumping json')
+            if fd:
+                self._save_one(self.analyser, fd)
+            return
 
-    def destroy_cb(self, x=None):
-        if self.running:
-            self.at.stop()
-            self.at.join()
+        directory = tkfiledialog.askdirectory(
+            parent=self, title='select directory to store .json files')
+        if not directory:
+            return
+        for fastq, analyser in self.analysers.items():
+            path = unique_json_path(directory, fastq)
+            lo.info('saving to ' + path)
+            with open(path, 'w') as fd:
+                self._save_one(analyser, fd)

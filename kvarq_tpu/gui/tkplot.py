@@ -1,8 +1,10 @@
 '''
-Canvas plot windows (no matplotlib dependency): per-position coverage with
-mutation colors and mean±std guides, trimmed-readlength histogram,
-hits-per-template histogram, mean-coverage histogram and spoligo bars
-(reference kvarq/gui/tkplot.py).
+Plot windows drawn directly on a Tk canvas (no matplotlib): per-position
+coverage with colored mutation stacks and mean±std guides, histograms of
+trimmed readlengths / hits-per-template / mean coverage, and spoligo bars.
+
+All plots share one bar-chart base class; the concrete classes only
+provide their height scaling, decorations and mouse-over descriptions.
 '''
 
 from collections import Counter
@@ -14,9 +16,42 @@ import tkinter.messagebox as tkmessagebox
 from kvarq_tpu.gui.util import ThemedTk
 
 
-class IndexableDisplay:
-    ''' base canvas: margins, bottom-left coordinate transforms, ticks and
-        a mouse-position readout label (reference tkplot.py:10-105) '''
+def nice_bin_width(raw):
+    ''' truncate a raw bin width to two significant digits, at least 1 '''
+    if raw > 0:
+        magnitude = 10 ** (int(log(raw) / log(10)) - 1)
+        raw = int(raw / magnitude) * magnitude
+    return max(1., raw)
+
+
+def histogram_bins(data, indexed, nbins):
+    '''
+    bucket ``data`` (sorted values, or per-index counts with
+    ``indexed=True``) into bins of a nicely rounded width;
+    :returns: ``(bin_counts, bin_width)``
+    '''
+    if indexed:
+        span = len(data)
+    else:
+        data = sorted(data)
+        span = data[-1] - data[0]
+    width = nice_bin_width(span / float(nbins))
+
+    buckets = [0]
+    for i, value in enumerate(data):
+        position = i if indexed else value
+        while position > len(buckets) * width:
+            buckets.append(0)
+        buckets[-1] += value if indexed else 1
+    if len(buckets) > 1 and not buckets[-1]:
+        buckets.pop()
+    return buckets, width
+
+
+class PlotCanvas:
+
+    ''' canvas with margins, bottom-left-origin drawing helpers, tick
+        rendering and a mouse-position readout label '''
 
     def __init__(self, parent, data):
         self.frame = tk.Frame(parent)
@@ -32,23 +67,12 @@ class IndexableDisplay:
         self.label.pack()
 
         self.margin = [20, 20, 20, 20]  # top right bottom left
-        self.config = {
-            'ticks': {
-                'length': 8,
-                'width': 2,
-                'font': tkfont.Font(self.canvas, size=10),
-            },
-        }
+        self.tick_length = 8
+        self.tick_width = 2
+        self.tick_font = tkfont.Font(self.canvas, size=10)
         self.data = data
 
-    def is_inside(self, x, y):
-        return (x >= self.margin[3] and
-                x < self.canvas.winfo_width() - self.margin[1] and
-                y >= self.margin[0] and
-                y < self.canvas.winfo_height() - self.margin[2])
-
-    def get_index(self, x):
-        return len(self.data) * (x - self.margin[3]) // max(self.width(), 1)
+    # --- coordinate helpers (origin at bottom-left inside margins) ------
 
     def width(self):
         return self.canvas.winfo_width() - self.margin[1] - self.margin[3]
@@ -56,54 +80,59 @@ class IndexableDisplay:
     def height(self):
         return self.canvas.winfo_height() - self.margin[0] - self.margin[2]
 
-    def create_rectangle(self, x1, y1, w, h, *a, **b):
-        self.canvas.create_rectangle(
-            self.margin[3] + x1,
-            self.canvas.winfo_height() - self.margin[2] - y1,
-            self.margin[3] + x1 + w,
-            self.canvas.winfo_height() - self.margin[2] - y1 - h, *a, **b)
+    def is_inside(self, x, y):
+        return (self.margin[3] <= x
+                < self.canvas.winfo_width() - self.margin[1]
+                and self.margin[0] <= y
+                < self.canvas.winfo_height() - self.margin[2])
 
-    def create_line(self, x1, y1, x2, y2, *a, **b):
+    def get_index(self, x):
+        return len(self.data) * (x - self.margin[3]) // max(self.width(), 1)
+
+    def _flip(self, y):
+        return self.canvas.winfo_height() - self.margin[2] - y
+
+    def create_rectangle(self, x, y, w, h, *args, **kwargs):
+        self.canvas.create_rectangle(
+            self.margin[3] + x, self._flip(y),
+            self.margin[3] + x + w, self._flip(y + h), *args, **kwargs)
+
+    def create_line(self, x1, y1, x2, y2, *args, **kwargs):
         self.canvas.create_line(
-            self.margin[3] + x1,
-            self.canvas.winfo_height() - self.margin[2] - y1,
-            self.margin[3] + x2,
-            self.canvas.winfo_height() - self.margin[2] - y2, *a, **b)
+            self.margin[3] + x1, self._flip(y1),
+            self.margin[3] + x2, self._flip(y2), *args, **kwargs)
+
+    # --- ticks -----------------------------------------------------------
 
     def xticks(self, ticks, labels=None):
-        if not labels:
-            labels = [str(t) for t in ticks]
+        labels = labels or [str(t) for t in ticks]
         w = self.width()
-        ch = self.canvas.winfo_height()
-        for i, tick in enumerate(ticks):
+        base = self.canvas.winfo_height() - self.margin[2] // 2
+        for tick, text in zip(ticks, labels):
             x = int(w * (tick + 0.5) / len(self.data))
-            self.create_line(x, 0, x, self.config['ticks']['length'],
-                             fill='black', width=self.config['ticks']['width'])
-            self.canvas.create_text(self.margin[3] + x,
-                                    ch - self.margin[2] // 2,
-                                    text=labels[i])
+            self.create_line(x, 0, x, self.tick_length,
+                             fill='black', width=self.tick_width)
+            self.canvas.create_text(self.margin[3] + x, base, text=text)
 
-    def transform_ylabel(self, number):
-        if number > 1e9:
-            return '%.2fG' % (number / 1e9)
-        if number > 1e6:
-            return '%.2fM' % (number / 1e6)
-        if number > 1e3:
-            return '%.2fk' % (number / 1e3)
+    @staticmethod
+    def transform_ylabel(number):
+        for cutoff, suffix in ((1e9, 'G'), (1e6, 'M'), (1e3, 'k')):
+            if number > cutoff:
+                return '%.2f%s' % (number / cutoff, suffix)
         return str(number)
 
     def yticks(self, ticks, labels=None):
-        if not labels:
-            labels = [self.transform_ylabel(t) for t in ticks]
+        labels = labels or [self.transform_ylabel(t) for t in ticks]
         h = self.height()
         ch = self.canvas.winfo_height()
-        for i, tick in enumerate(ticks):
+        for tick, text in zip(ticks, labels):
             y = h * tick // max(self.data)
-            self.create_line(0, y, self.config['ticks']['length'], y,
-                             fill='black', width=self.config['ticks']['width'])
+            self.create_line(0, y, self.tick_length, y,
+                             fill='black', width=self.tick_width)
             self.canvas.create_text(self.margin[3] // 2,
-                                    ch - self.margin[2] - y,
-                                    text=labels[i])
+                                    ch - self.margin[2] - y, text=text)
+
+    # --- hooks -------------------------------------------------------------
 
     def update(self, e=None):
         pass
@@ -112,27 +141,63 @@ class IndexableDisplay:
         pass
 
 
-class CoverageDisplay(IndexableDisplay):
-    ''' per-position depth bars with colored mutation stacks, red
-        region-of-interest borders and dashed mean±std guides
-        (reference tkplot.py:108-178) '''
+class BarPlot(PlotCanvas):
 
-    def __init__(self, parent, pos0, coverage):
-        super().__init__(parent, coverage.coverage)
-        self.colors = {
-            'coverage': 'gray',
-            'bases': {'A': 'blue', 'C': 'cyan', 'G': 'green', 'T': 'red',
-                      'N': 'black'},
-        }
-        self.coverage = coverage
-        self.pos0 = pos0
+    ''' renders ``self.data`` as vertical bars; subclasses override
+        :py:meth:`describe` (mouse-over text), :py:meth:`bar_scale`
+        (pixels per unit) and :py:meth:`decorate` (extra drawing) '''
+
+    BAR_FILL = 'gray'
+
+    def bar_scale(self, h):
+        return float(h) / max(max(self.data), 1)
+
+    def bar_bounds(self, i, w):
+        x0 = w * i // len(self.data)
+        return x0, w * (i + 1) // len(self.data) - x0
+
+    def describe(self, i):
+        return ''
+
+    def decorate(self, w, h):
+        pass
 
     def motion(self, e):
         if not self.is_inside(e.x, e.y):
             self.label.config(text='(mouse outside graph)')
             return
-        i = self.get_index(e.x)
-        i = max(0, min(i, len(self.coverage.coverage) - 1))
+        i = max(0, min(self.get_index(e.x), len(self.data) - 1))
+        self.label.config(text=self.describe(i))
+
+    def update(self, e=None):
+        self.canvas.delete('all')
+        w, h = self.width(), self.height()
+        scale = self.bar_scale(h)
+        for i, value in enumerate(self.data):
+            x0, bw = self.bar_bounds(i, w)
+            self.create_rectangle(x0, 0, bw, int(value * scale),
+                                  fill=self.BAR_FILL, outline='')
+        self.decorate(w, h)
+
+
+class CoverageDisplay(BarPlot):
+
+    ''' per-position depth bars with stacked mutation colors, red
+        region-of-interest borders and dashed mean/mean±std guides '''
+
+    BASE_COLORS = {'A': 'blue', 'C': 'cyan', 'G': 'green', 'T': 'red',
+                   'N': 'black'}
+
+    def __init__(self, parent, pos0, coverage):
+        super().__init__(parent, coverage.coverage)
+        self.coverage = coverage
+        self.pos0 = pos0
+
+    def bar_scale(self, h):
+        # cap bar growth so low-coverage plots stay readable
+        return min(3., super().bar_scale(h))
+
+    def describe(self, i):
         if self.pos0:
             text = 'pos=' + str(self.pos0 + i - self.coverage.start)
         else:
@@ -141,39 +206,117 @@ class CoverageDisplay(IndexableDisplay):
         mutations = self.coverage.mutations.get(i)
         if mutations:
             text += ' mutations=' + ', '.join(
-                '%dx %s' % (v, k) for k, v in Counter(mutations).items())
-        self.label.config(text=text)
+                '%dx %s' % (n, base)
+                for base, n in Counter(mutations).items())
+        return text
 
     def update(self, e=None):
-        self.canvas.delete('all')
+        super().update(e)
         w, h = self.width(), self.height()
-        x = self.data
-        self.hitheight = min(3., float(h) / max(max(x), 1))
-        for i in range(len(x)):
-            rx = w * i // len(x)
-            rh = int(x[i] * self.hitheight)
-            rw = w * (i + 1) // len(x) - rx
-            self.create_rectangle(rx, 0, rw, rh,
-                                  fill=self.colors['coverage'], outline='')
-            for j, b in enumerate(sorted(self.coverage.mutations.get(i, ''))):
-                my = int(j * self.hitheight)
-                mh = int((j + 1) * self.hitheight) - my
-                self.create_rectangle(rx, my, rw, mh,
-                                      fill=self.colors['bases'].get(b, 'black'),
-                                      outline='')
+        scale = self.bar_scale(h)
 
+        # mutation stacks on top of the depth bars
+        for i in range(len(self.data)):
+            x0, bw = self.bar_bounds(i, w)
+            for j, base in enumerate(
+                    sorted(self.coverage.mutations.get(i, ''))):
+                y0 = int(j * scale)
+                self.create_rectangle(
+                    x0, y0, bw, int((j + 1) * scale) - y0,
+                    fill=self.BASE_COLORS.get(base, 'black'), outline='')
+
+        # region-of-interest borders
         for i in (self.coverage.start, self.coverage.stop):
-            lx = w * i // len(x)
+            lx = w * i // len(self.data)
             self.create_line(lx, 0, lx, h, fill='red', width=2)
 
+        # mean / mean±std guides
         mean = self.coverage.mean(include_margins=False)
         std = self.coverage.std(include_margins=False)
-        for j, dash in ((mean - std, (2, 5)), (mean, (5, 3)),
-                        (mean + std, (2, 5))):
-            ly = int(j * self.hitheight)
+        for value, dash in ((mean - std, (2, 5)), (mean, (5, 3)),
+                            (mean + std, (2, 5))):
+            ly = int(value * scale)
             self.create_line(0, ly, w, ly, fill='black', dash=dash)
 
         self.create_rectangle(0, 0, w, h, fill='', outline='black')
+
+
+class ReadlengthDisplay(BarPlot):
+
+    def __init__(self, parent, data):
+        super().__init__(parent, list(data))
+        self.margin[3] = 60
+
+    def describe(self, i):
+        return '%d reads with length=%d' % (self.data[i], i)
+
+    def decorate(self, w, h):
+        self.create_line(0, 0, w, 0, fill='black')
+        self.create_line(0, 0, 0, h, fill='black')
+        populated = [i for i, n in enumerate(self.data) if n > 0]
+        if populated:
+            greatest = max(self.data)
+            self.xticks([populated[0], populated[-1],
+                         self.data.index(greatest)])
+            self.yticks([greatest])
+
+
+class HitHistogramDisplay(BarPlot):
+
+    def __init__(self, parent, data, indexed=False, nbins=15):
+        bins, width = histogram_bins(data, indexed, nbins + 1)
+        super().__init__(parent, bins)
+        self.binwidth = width
+        self.smallest = min(data)
+        self.largest = max(data)
+
+    def describe(self, i):
+        a, b = self.binwidth * i, self.binwidth * (i + 1) - 1
+        if i == 0:
+            a = self.smallest
+        if i == len(self.data) - 1:
+            b = self.largest
+        text = '%d templates with %d' % (self.data[i], a)
+        if a != b:
+            text += '-' + str(b)
+        return text + ' hits'
+
+    def decorate(self, w, h):
+        self.create_rectangle(0, 0, w, h, fill='', outline='black')
+
+
+class MeanCoverageDisplay(HitHistogramDisplay):
+
+    def describe(self, i):
+        return '%d templates with medium coverage %d-%d' % (
+            self.data[i], self.binwidth * i, self.binwidth * (i + 1))
+
+
+class SpoligoDisplay(ReadlengthDisplay):
+
+    def __init__(self, parent, data):
+        super().__init__(parent, data)
+        self.margin[1] = self.margin[3] = 0
+
+    def describe(self, i):
+        return 'spoligo%d : %d hits' % (i, self.data[i])
+
+    def decorate(self, w, h):
+        pass
+
+
+def _plot_window(data, title, geometry, display_cls, empty_title,
+                 empty_message, **display_kwargs):
+    ''' open a ThemedTk window around a display class, or show an info box
+        when there is nothing to plot; returns the window or None '''
+    if not data or not max(data):
+        tkmessagebox.showinfo(empty_title, empty_message)
+        return None
+    win = ThemedTk(title=title, esc_closes=True, geometry=geometry)
+    display = display_cls(win, data=data, **display_kwargs)
+    display.pack(fill='both', expand=1)
+    win.display = display
+    return win
 
 
 class CoverageWindow:
@@ -185,196 +328,44 @@ class CoverageWindow:
             return
         self.win = ThemedTk(title=str(test), esc_closes=True,
                             geometry=(800, 600))
-        pos0 = getattr(test.template, 'start', None)
-        self.cd = CoverageDisplay(self.win, pos0, coverage)
+        self.cd = CoverageDisplay(self.win,
+                                  getattr(test.template, 'start', None),
+                                  coverage)
         self.cd.pack(fill='both', expand=1)
-
-
-class ReadlengthDisplay(IndexableDisplay):
-
-    def __init__(self, parent, data):
-        super().__init__(parent, list(data))
-        self.margin[3] = 60
-
-    def motion(self, e):
-        if not self.is_inside(e.x, e.y):
-            self.label.config(text='(mouse outside graph)')
-            return
-        i = self.get_index(e.x)
-        i = max(0, min(i, len(self.data) - 1))
-        self.label.config(text='%d reads with length=%d' % (self.data[i], i))
-
-    def update(self, e=None):
-        self.canvas.delete('all')
-        w, h = self.width(), self.height()
-        x = self.data
-        first = last = greatest = None
-        for i in range(len(x)):
-            if x[i] > 0 and first is None:
-                first = i
-            if x[i] > 0:
-                last = i
-            if greatest is None or x[i] > greatest:
-                greatest = x[i]
-            rx = w * i // len(x)
-            rh = int(float(h) * x[i] / max(max(x), 1))
-            rw = w * (i + 1) // len(x) - rx
-            self.create_rectangle(rx, 0, rw, rh, fill='gray', outline='')
-
-        self.create_line(0, 0, w, 0, fill='black')
-        self.create_line(0, 0, 0, h, fill='black')
-        self.draw_ticks(first, last, greatest)
-
-    def draw_ticks(self, first, last, greatest):
-        self.xticks([first, last, self.data.index(greatest)])
-        self.yticks([greatest])
 
 
 class ReadlengthWindow:
 
     def __init__(self, readlengths):
-        if readlengths and max(readlengths):
-            self.win = ThemedTk(title='Length of quality-cut reads',
-                                esc_closes=True, geometry=(600, 400))
-            self.cd = ReadlengthDisplay(self.win, readlengths)
-            self.cd.pack(fill='both', expand=1)
-        else:
-            tkmessagebox.showinfo('cannot show readlengths', 'no reads found')
-
-
-class HitHistogramDisplay(IndexableDisplay):
-
-    def __init__(self, parent, data, indexed=False, nbins=15):
-        ''' - ``indexed=False``: data contains actual values
-            - ``indexed=True``: data[i] = number of occurrences of value i
-            (reference tkplot.py:260-330) '''
-        nbins += 1
-        bins, binwidth = self.make_bins(data, indexed, nbins)
-        super().__init__(parent, bins)
-        self.binwidth = binwidth
-        self.smallest = min(data)
-        self.largest = max(data)
-
-    def make_bins(self, data, indexed, bins):
-        if indexed:
-            bw = len(data) / float(bins)
-        else:
-            data = sorted(data)
-            bw = (data[-1] - data[0]) / float(bins)
-
-        n = int(log(max(bw, 1e-9)) / log(10)) - 1
-        binwidth = int(bw / 10 ** n) * 10 ** n if bw > 0 else 1.
-        binwidth = max(1., binwidth)
-
-        out = []
-        i = bi = x = mx = 0
-        while i < len(data):
-            if ((not indexed and data[i] > (bi + 1) * binwidth)
-                    or (indexed and i > (bi + 1) * binwidth)):
-                out.append(x)
-                if x > mx:
-                    mx = x
-                x = 0
-                bi += 1
-            else:
-                x += data[i] if indexed else 1
-                i += 1
-        if x:
-            out.append(x)
-        return out, binwidth
-
-    def motion(self, e):
-        if not self.is_inside(e.x, e.y):
-            self.label.config(text='(mouse outside graph)')
-            return
-        i = self.get_index(e.x)
-        i = max(0, min(i, len(self.data) - 1))
-        a, b = self.binwidth * i, self.binwidth * (i + 1) - 1
-        if i == 0:
-            a = self.smallest
-        if i == len(self.data) - 1:
-            b = self.largest
-        text = '%d templates with %d' % (self.data[i], a)
-        if a != b:
-            text += '-' + str(b)
-        self.label.config(text=text + ' hits')
-
-    def update(self, e=None):
-        self.canvas.delete('all')
-        w, h = self.width(), self.height()
-        x = self.data
-        for i in range(len(x)):
-            rx = w * i // len(x)
-            rh = int(float(h) * x[i] / max(max(x), 1))
-            rw = w * (i + 1) // len(x) - rx
-            self.create_rectangle(rx, 0, rw, rh, fill='gray', outline='')
-        self.create_rectangle(0, 0, w, h, fill='', outline='black')
+        self.win = _plot_window(
+            readlengths, 'Length of quality-cut reads', (600, 400),
+            ReadlengthDisplay,
+            'cannot show readlengths', 'no reads found')
 
 
 class HitHistogramWindow:
 
     def __init__(self, data, indexed=False):
-        if data and max(data):
-            self.win = ThemedTk(title='Histogram of hits/template',
-                                esc_closes=True, geometry=(600, 400))
-            self.cd = HitHistogramDisplay(self.win, data, indexed)
-            self.cd.pack(fill='both', expand=1)
-        else:
-            tkmessagebox.showinfo('cannot show hits/template',
-                                  'no hits to template found')
-
-
-class MeanCoverageDisplay(HitHistogramDisplay):
-
-    def motion(self, e):
-        if not self.is_inside(e.x, e.y):
-            self.label.config(text='(mouse outside graph)')
-            return
-        i = self.get_index(e.x)
-        i = max(0, min(i, len(self.data) - 1))
-        self.label.config(text='%d templates with medium coverage %d-%d' % (
-            self.data[i], self.binwidth * i, self.binwidth * (i + 1)))
+        self.win = _plot_window(
+            data, 'Histogram of hits/template', (600, 400),
+            HitHistogramDisplay,
+            'cannot show hits/template', 'no hits to template found',
+            indexed=indexed)
 
 
 class MeanCoverageWindow:
 
     def __init__(self, data, indexed=False):
-        if data and max(data):
-            self.win = ThemedTk(title='Mean coverage of templates',
-                                esc_closes=True, geometry=(600, 400))
-            self.cd = MeanCoverageDisplay(self.win, data, indexed)
-            self.cd.pack(fill='both', expand=1)
-        else:
-            tkmessagebox.showinfo('cannot show mean coverage',
-                                  'no hits to template found')
-
-
-class SpoligoDisplay(ReadlengthDisplay):
-
-    def __init__(self, parent, data):
-        super().__init__(parent, data)
-        self.margin[1] = self.margin[3] = 0
-
-    def motion(self, e):
-        if not self.is_inside(e.x, e.y):
-            self.label.config(text='(mouse outside graph)')
-            return
-        i = self.get_index(e.x)
-        i = max(0, min(i, len(self.data) - 1))
-        self.label.config(text='spoligo%d : %d hits' % (i, self.data[i]))
-
-    def draw_ticks(self, *a, **b):
-        pass
+        self.win = _plot_window(
+            data, 'Mean coverage of templates', (600, 400),
+            MeanCoverageDisplay,
+            'cannot show mean coverage', 'no hits to template found',
+            indexed=indexed)
 
 
 class SpoligoWindow:
 
     def __init__(self, spoligos):
-        if spoligos and max(spoligos):
-            self.win = ThemedTk(title='Hits/spoligo', esc_closes=True,
-                                geometry=(600, 400))
-            self.cd = SpoligoDisplay(self.win, spoligos)
-            self.cd.pack(fill='both', expand=1)
-        else:
-            tkmessagebox.showinfo('cannot show hits/spoligo',
-                                  'no spoligos found')
+        self.win = _plot_window(
+            spoligos, 'Hits/spoligo', (600, 400), SpoligoDisplay,
+            'cannot show hits/spoligo', 'no spoligos found')

@@ -1,60 +1,77 @@
 '''
-GUI support: themed toplevel window, background-job dialog, help opener and
-multi-file dialog helper (reference kvarq/gui/util.py).
+Shared GUI building blocks: the themed toplevel window every KvarQ window
+derives from, a scrolled listbox/text factory (used by the launcher and
+the explorers), a tiny background-job dialog and small dialog helpers.
 '''
 
-import os
-import sys
 import threading
 import tkinter as tk
-import tkinter.font as tkfont
 import tkinter.filedialog as tkfiledialog
+import tkinter.font as tkfont
 import webbrowser
 
 from kvarq_tpu import VERSION
-from kvarq_tpu.util import get_help_path, get_root_path
+from kvarq_tpu.util import get_help_path
+
+
+def resolve_extent(value, screen, minimum, maximum):
+    ''' window geometry helper: a value can be absolute pixels, a fraction
+        of the screen (0..1) or a negative offset from the screen edge;
+        the result is clamped to ``[minimum, maximum]`` '''
+    if value < 0:
+        value = screen + value
+    elif value < 1:
+        value = int(screen * value)
+    return max(minimum, min(value, maximum))
 
 
 class ThemedTk(tk.Tk):
 
+    ''' toplevel window with the KvarQ title prefix, standard fonts, and
+        optional escape-to-close / geometry conveniences '''
+
     def __init__(self, title=None, esc_closes=False, geometry=None):
-        ''' :param esc_closes: whether hitting ``<Escape>`` closes the
-                window (via the overridable :py:meth:`close` callback)
-            :param geometry: tuple ``(width, height)``; each value can be
-                pixels, a fraction (0-1 of the screen) or a negative
-                difference from the screen dimension
-            (reference gui/util.py:14-53) '''
+        '''
+        :param esc_closes: bind ``<Escape>`` to the overridable
+            :py:meth:`close` callback
+        :param geometry: ``(width, height)`` -- see
+            :py:func:`resolve_extent` for the accepted value forms
+        '''
         tk.Tk.__init__(self)
-        self.wm_title('KvarQ-TPU %s%s' % (VERSION,
-                                          ' -- ' + title if title else ''))
+        self.wm_title('KvarQ-TPU %s%s'
+                      % (VERSION, ' -- ' + title if title else ''))
 
         self.monospace = tkfont.Font(self, family='Courier New',
                                      weight=tkfont.BOLD)
         self.boldfont = tkfont.Font(self, weight='bold')
 
         if esc_closes:
-            self.bind('<Escape>', lambda x: self.close())
+            self.bind('<Escape>', lambda _: self.close())
 
         if geometry:
-            sw = self.winfo_screenwidth()
-            sh = self.winfo_screenheight()
-            w, h = geometry
-            if w < 0:
-                w = sw + w
-            elif w < 1:
-                w = int(sw * w)
-            if h < 0:
-                h = sh + h
-            elif h < 1:
-                h = int(sh * h)
-            w = max(200, min(w, sw - 100))
-            h = max(200, min(h, sh - 200))
+            sw, sh = self.winfo_screenwidth(), self.winfo_screenheight()
+            w = resolve_extent(geometry[0], sw, 200, sw - 100)
+            h = resolve_extent(geometry[1], sh, 200, sh - 200)
             self.geometry('%dx%d+%d+%d' % (w, h, 50, (sh - h) // 2))
 
         self.focus_force()
 
-    def close(self, x=None):
+    def close(self, _=None):
         self.destroy()
+
+
+def scrolled(widget_cls, parent, **kwargs):
+    ''' create ``widget_cls`` (Listbox/Text) with an attached vertical
+        scrollbar inside a new frame; returns ``(frame, widget)`` and
+        leaves the scrollbar on ``widget.yscrollbar`` '''
+    frame = tk.Frame(parent)
+    widget = widget_cls(frame, **kwargs)
+    widget.pack(side=tk.LEFT, fill=tk.BOTH, expand=True)
+    bar = tk.Scrollbar(frame, command=widget.yview)
+    bar.pack(side=tk.RIGHT, fill=tk.Y)
+    widget.config(yscrollcommand=bar.set)
+    widget.yscrollbar = bar
+    return frame, widget
 
 
 def open_help(page='index', anchor=None):
@@ -62,52 +79,63 @@ def open_help(page='index', anchor=None):
 
 
 class BackgroundJob(tk.Tk):
-    ''' small progress dialog running a callable on a worker thread with a
-        cancel button (reference gui/util.py:69-108) '''
+
+    ''' progress dialog that runs a callable on a worker thread; the
+        worker communicates through ``.message`` (shown in the label),
+        ``.canceled`` (set by the cancel button) and ``.data`` '''
+
+    POLL_MS = 100
 
     def __init__(self, title):
         tk.Tk.__init__(self)
         self.title(title)
         self.label = tk.Label(self)
         self.label.pack(expand=1, fill='x')
-        self.cancel = tk.Button(self, text='cancel', command=self.cancel_cb)
-        self.cancel.pack()
+        tk.Button(self, text='cancel',
+                  command=self.cancel_cb).pack()
         self.geometry('300x150')
         self.resizable(0, 0)
 
-        self.canceled = False   # set when "cancel" is clicked
-        self.message = ''       # polled into the label from the GUI thread
-        self.data = None        # free-form cross-thread transfer
+        self.canceled = False
+        self.message = ''
+        self.data = None
+        self.thread = None
+        self.done_cb = None
 
     def start(self, run, done_cb=None):
         self.thread = threading.Thread(target=run)
-        self.thread.start()
         self.done_cb = done_cb
-        self.update()
+        self.thread.start()
+        self._poll()
 
-    def update(self):
+    def _poll(self):
         if self.thread.is_alive():
             self.label.config(text=self.message)
-            self.after(100, self.update)
+            self.after(self.POLL_MS, self._poll)
         else:
             self.thread = None
             self.destroy()
             if self.done_cb:
                 self.done_cb()
 
-    def cancel_cb(self, e=None):
+    # kept for API compatibility with the reference dialog
+    update = _poll
+
+    def cancel_cb(self, _=None):
         self.canceled = True
 
 
-def askopenfilename(*a, **b):
-    ''' multi-select file dialog returning a list '''
-    ret = tkfiledialog.askopenfilename(*a, **b)
-    if isinstance(ret, tuple):
-        return list(ret)
-    if not ret:
+def askopenfilename(*args, **kwargs):
+    ''' multi-select file dialog normalized to always return a list (some
+        Tk builds return a tuple, old ones a brace-grouped string) '''
+    picked = tkfiledialog.askopenfilename(*args, **kwargs)
+    if not picked:
         return []
-    tmp = tk.Tk()
-    tmp.withdraw()
-    out = tmp.tk.splitlist(ret)
-    tmp.destroy()
-    return list(out)
+    if isinstance(picked, tuple):
+        return list(picked)
+    helper = tk.Tk()
+    helper.withdraw()
+    try:
+        return list(helper.tk.splitlist(picked))
+    finally:
+        helper.destroy()

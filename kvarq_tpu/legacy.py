@@ -1,11 +1,12 @@
 '''
-Conversion of .json result files written by older KvarQ versions
-(reference kvarq/legacy.py): v0.10 (tests/testsuites keyed) and v0.11
-(scalar info.fastq/size) are upgraded to the current coverages-keyed,
-list-valued format.
+Upgrades for result ``.json`` files written by historic KvarQ versions, so
+``kvarq update``/``illustrate``/the explorer can still open them.  Each
+supported on-disk version gets one in-place upgrade step; steps are chained
+until the current format is reached (semantics per reference
+kvarq/legacy.py: v0.10 stored coverages keyed by *test* under
+``testsuites``/``tests``, v0.11 had scalar ``info.fastq``/``info.size``).
 '''
 
-from functools import reduce
 from collections import OrderedDict
 
 from kvarq_tpu import VERSION
@@ -13,88 +14,100 @@ from kvarq_tpu.log import lo
 from kvarq_tpu.versions import StrictVersion
 
 
-def convert_legacy_data(testsuites, data):
-    '''
-    :param testsuites: dictionary of :py:class:`kvarq_tpu.genes.Testsuite`
-    :param data: dict as returned by Analyser.encode(), possibly from a
-        previous version
-    :returns: dict in the current format
-
-    raises VersionConflictException / DataInconcistencyException when the
-    data cannot be converted.
-    '''
+def _exceptions():
+    # imported lazily: analyse itself imports this module
     from kvarq_tpu.analyse import (VersionConflictException,
                                    DataInconcistencyException)
+    return VersionConflictException, DataInconcistencyException
 
-    kvarq_version = list(StrictVersion(VERSION).version)
-    version = list(StrictVersion(data['info']['version']).version)
 
-    if version[1] < 10:
+def _upgrade_v0_10(testsuites, data):
+    ''' re-key per-test coverages by template identifier, dropping
+        duplicates (tests sharing a template) and remapping the
+        per-sequence stat arrays accordingly '''
+    _, DataInconcistencyException = _exceptions()
+
+    template_of = {str(test): test.template
+                   for testsuite in testsuites.values()
+                   for test in testsuite.tests}
+    old_coverages = {testname: serialized
+                     for block in data['testsuites'].values()
+                     for testname, serialized in block.items()}
+
+    coverages = OrderedDict()
+    kept_indices = []
+    for i, testname in enumerate(data['tests']):
+        if testname not in template_of:
+            lo.info('json contains additional test "%s"; discarding.'
+                    % testname)
+            continue
+        key = str(template_of[testname])
+        serialized = old_coverages[testname]
+        if key in coverages:
+            if coverages[key] != serialized:
+                raise DataInconcistencyException(
+                    'found contradicting coverages for template "%s" : '
+                    '"%s" / "%s"' % (key, coverages[key], serialized))
+        else:
+            coverages[key] = serialized
+            kept_indices.append(i)
+
+    data['coverages'] = list(coverages.items())
+    lo.debug('mapping "nseqhits", "nseqbasehits" : (%d) %s'
+             % (len(kept_indices), str(kept_indices)))
+
+    # stat arrays were [forward tests..., reverse tests...]; keep the same
+    # layout over the deduplicated coverage list
+    n_tests = len(data['tests'])
+    for key in ('nseqhits', 'nseqbasehits'):
+        if key not in data['stats']:
+            lo.info('no stats/%s found (old json version)' % key)
+            continue
+        values = data['stats'][key]
+        data['stats'][key] = ([values[i] for i in kept_indices]
+                              + [values[i + n_tests] for i in kept_indices])
+
+    del data['testsuites']
+    del data['tests']
+
+
+def _upgrade_v0_11(testsuites, data):
+    ''' single fastq file -> list-valued ``info.fastq``/``info.size`` '''
+    data['info']['fastq'] = [data['info']['fastq']]
+    data['info']['size'] = [data['info']['size']]
+
+
+#: (major, minor) -> in-place upgrade to (major, minor+1)
+_UPGRADES = {
+    (0, 10): _upgrade_v0_10,
+    (0, 11): _upgrade_v0_11,
+}
+
+
+def convert_legacy_data(testsuites, data):
+    '''
+    :param testsuites: dict of loaded :py:class:`kvarq_tpu.genes.Testsuite`
+        (needed to resolve v0.10 test names to templates)
+    :param data: decoded result ``.json`` dict, possibly in an old format
+    :returns: ``data``, upgraded in place to the current format
+
+    raises ``VersionConflictException`` when no upgrade path exists and
+    ``DataInconcistencyException`` on contradictory legacy data.
+    '''
+    VersionConflictException, _ = _exceptions()
+
+    target = tuple(StrictVersion(VERSION).version[:2])
+    found = tuple(StrictVersion(data['info']['version']).version[:2])
+
+    if found[1] < 10:
         raise VersionConflictException('cannot load files v<0.10')
 
-    # convert tests -> coverages (v0.10 -> v0.11, reference legacy.py:21-77)
-    if version[0] == 0 and version[1] == 10:
-
-        templates_by_testname = dict(reduce(lambda x, y: x + y, [[
-            (str(test), test.template) for test in testsuite.tests
-        ] for testsuite in testsuites.values()]))
-
-        coverages_by_testname = dict(reduce(
-            lambda x, y: x + y,
-            [list(data_testsuite.items())
-             for data_testsuite in data['testsuites'].values()]))
-
-        nrmap = []
-        coverages = OrderedDict()
-
-        for i, testname in enumerate(data['tests']):
-
-            if testname not in templates_by_testname:
-                lo.info('json contains additional test "%s"; discarding.'
-                        % testname)
-                continue
-
-            templatename = str(templates_by_testname[testname])
-            coverage = coverages_by_testname[testname]
-
-            if templatename in coverages:
-                if coverages[templatename] != coverage:
-                    raise DataInconcistencyException(
-                        'found contradicting coverages for template "%s" : '
-                        '"%s" / "%s"' % (templatename,
-                                         coverages[templatename], coverage))
-            else:
-                coverages[templatename] = coverage
-                nrmap.append(i)
-
-        data['coverages'] = [(k, v) for k, v in coverages.items()]
-        lo.debug('mapping "nseqhits", "nseqbasehits" : (%d) %s'
-                 % (len(nrmap), str(nrmap)))
-        for key in ['nseqhits', 'nseqbasehits']:
-            if key not in data['stats']:
-                lo.info('no stats/%s found (old json version)' % key)
-                continue
-            data['stats'][key] = [
-                data['stats'][key][nrmap[coveragenr]]
-                for coveragenr in range(len(coverages))  # forward
-            ] + [
-                data['stats'][key][nrmap[coveragenr] + len(data['tests'])]
-                for coveragenr in range(len(coverages))  # reverse
-            ]
-
-        del data['testsuites']
-        del data['tests']
-        version[1] += 1
-
-    # convert info.fastq/info.size to lists (v0.11 -> v0.12)
-    if version[0] == 0 and version[1] == 11:
-        data['info']['fastq'] = [data['info']['fastq']]
-        data['info']['size'] = [data['info']['size']]
-        version[1] += 1
-
-    if not (version[0] == kvarq_version[0] and version[1] == kvarq_version[1]):
-        raise VersionConflictException(
-            'could not elevate version more than to "%d.%d"'
-            % (version[0], version[1]))
+    while found != target:
+        upgrade = _UPGRADES.get(found)
+        if upgrade is None:
+            raise VersionConflictException(
+                'could not elevate version more than to "%d.%d"' % found)
+        upgrade(testsuites, data)
+        found = (found[0], found[1] + 1)
 
     return data

@@ -1,180 +1,167 @@
 '''
-Two-phase testsuite loading (reference kvarq/testsuites.py):
+Testsuite plugin registry.
 
-1. :py:func:`discover_testsuites` finds candidate ``group/name`` -> path
-   mappings in the usual places (package root, ``~/kvarq_testsuites``, CWD,
-   ``$KVARQ_TESTSUITES``, explicit ``-t`` directories; later wins)
-2. :py:func:`load_testsuites` (by selection) or
-   :py:func:`update_testsuites` (by name+version, for .json files) actually
-   execute the plugin files
+A testsuite is a single ``.py`` file living in ``<root>/<group>/<file>.py``;
+its registry name is ``group/file``.  Discovery walks a fixed, ordered set
+of roots (package ``testsuites/``, ``~/kvarq_testsuites``, ``./testsuites``,
+``$KVARQ_TESTSUITES`` entries, explicit ``-t`` directories) where later
+roots shadow earlier ones -- same precedence as the reference
+(kvarq/testsuites.py:55-96).  Actual loading happens on demand:
+:py:func:`load_testsuites` resolves a user selection (names, groups, or
+file paths), :py:func:`update_testsuites` resolves the name/version pairs
+recorded in a result ``.json`` and enforces version compatibility.
 '''
 
 import os
 import os.path
 import time
-from os.path import expanduser
 
-from kvarq_tpu.versions import StrictVersion
-from kvarq_tpu.util import get_root_path
-from kvarq_tpu.log import lo
 from kvarq_tpu import genes
 from kvarq_tpu.analyse import TestsuiteVersionConflictException
+from kvarq_tpu.log import lo
+from kvarq_tpu.util import get_root_path
+from kvarq_tpu.versions import StrictVersion
 
 
-def add_testsuites_dir(testsuite_paths, base):
+def _is_hidden(name):
+    return name.startswith('_') or name.startswith('.')
+
+
+def _register_root(registry, base):
+    ''' add every ``<base>/<group>/<name>.py`` to the registry (shadowing
+        earlier entries of the same name) '''
     if not os.path.isdir(base):
         return
-
-    for subdir in sorted(os.listdir(base)):
-
-        if not os.path.isdir(os.path.join(base, subdir)) or (
-                subdir[0] == '_' or subdir[0] == '.'):
+    for group in sorted(os.listdir(base)):
+        group_dir = os.path.join(base, group)
+        if _is_hidden(group) or not os.path.isdir(group_dir):
             continue
-
-        for fname in sorted(os.listdir(os.path.join(base, subdir))):
-
-            if not fname.endswith('.py') or (
-                    fname[0] == '_' or fname[0] == '.'):
+        for fname in sorted(os.listdir(group_dir)):
+            if _is_hidden(fname) or not fname.endswith('.py'):
                 continue
-
-            name = subdir + '/' + fname[:-3]
-            path = os.path.join(base, subdir, fname)
-            if name in testsuite_paths:
-                lo.info('testsuite %s loaded from "%s"' % (name, path))
-            else:
-                lo.debug('testsuite %s loaded from "%s"' % (name, path))
-            testsuite_paths[name] = path
+            name = group + '/' + fname[:-len('.py')]
+            path = os.path.join(group_dir, fname)
+            log = lo.info if name in registry else lo.debug
+            log('testsuite %s loaded from "%s"' % (name, path))
+            registry[name] = path
 
 
 def discover_testsuites(paths=[]):
-    ''' map name -> python file for all testsuites in the usual places;
-        later occurrences override previous '''
-    testsuite_paths = {}
+    ''' ordered name -> path registry of all discoverable testsuites;
+        ``paths`` are extra roots (from ``-t``) that shadow everything '''
+    registry = {}
 
-    # 1) package root path
-    root_base = os.path.abspath(os.path.join(get_root_path(), 'testsuites'))
+    package_root = os.path.abspath(get_root_path('testsuites'))
     lo.debug('discovering testsuites in root path')
-    add_testsuites_dir(testsuite_paths, root_base)
+    _register_root(registry, package_root)
 
-    # 2) $HOME
-    base = os.path.join(expanduser('~'), 'kvarq_testsuites')
     lo.debug('discovering testsuites in home directory')
-    add_testsuites_dir(testsuite_paths, base)
+    _register_root(registry,
+                   os.path.join(os.path.expanduser('~'), 'kvarq_testsuites'))
 
-    # 3) CWD (if different from root path)
-    cwd_base = os.path.abspath('testsuites')
-    if cwd_base != root_base:
+    cwd_root = os.path.abspath('testsuites')
+    if cwd_root != package_root:
         lo.debug('discovering testsuites in current working directory')
-        add_testsuites_dir(testsuite_paths, cwd_base)
+        _register_root(registry, cwd_root)
 
-    # 4) KVARQ_TESTSUITES
-    from_env = os.environ.get('KVARQ_TESTSUITES')
-    if from_env:
+    env = os.environ.get('KVARQ_TESTSUITES')
+    if env:
         lo.debug('discovering testsuites in $KVARQ_TESTSUITES')
-        for base in from_env.split(os.path.pathsep):
-            add_testsuites_dir(testsuite_paths, base)
+        for base in env.split(os.path.pathsep):
+            _register_root(registry, base)
 
-    # 5) explicitly specified paths
     for base in paths:
         if os.path.isdir(base):
             lo.debug('discovering testsuites in "%s"' % base)
-            add_testsuites_dir(testsuite_paths, base)
+            _register_root(registry, base)
         else:
             lo.warning('could not find directory "%s"' % base)
 
-    return testsuite_paths
+    return registry
 
 
-def load_testsuite(path):
-    t0 = time.time()
+def _load_plugin(path):
+    started = time.time()
     testsuite = genes.load_testsuite(path)
-    lo.info('loaded testsuite from "%s" in %dms' % (
-        path, int(1e3 * (time.time() - t0))))
+    lo.info('loaded testsuite from "%s" in %dms'
+            % (path, int(1e3 * (time.time() - started))))
     return testsuite
 
 
-def load_get_testsuite(testsuites, name, testsuite_paths):
-    ''' name can be full name or only filename part '''
-    if name in testsuites:
-        return testsuites[name]
-
-    if name in testsuite_paths:
-        return load_testsuite(testsuite_paths[name])
-
-    for fullname, path in testsuite_paths.items():
-        if fullname.split('/')[-1] == name:
-            lo.info('mapping testsuite "%s" to "%s"' % (name, fullname))
-            if fullname in testsuites:
-                return testsuites[fullname]
-            return load_testsuite(testsuite_paths[fullname])
-
-    return None
+def _name_from_path(path):
+    ''' registry-style name for an explicitly given file path '''
+    parts = path.split(os.path.sep)
+    stem = os.path.splitext(parts[-1])[0]
+    return parts[-2] + '/' + stem if len(parts) > 1 else stem
 
 
 def load_testsuites(testsuite_paths, selection, raise_exception=False):
-    ''' load testsuites by full name, group name, or python file path '''
-    testsuites = {}
+    '''
+    load a user selection against a discovery registry; every item may be
 
+    - a full testsuite name (``MTBC/phylo``),
+    - a group name (``MTBC`` -- loads the whole group), or
+    - the path of a testsuite ``.py`` file anywhere on disk
+
+    loading errors are logged (or raised with ``raise_exception=True``)
+    '''
     groups = {}
-    for name, path in testsuite_paths.items():
-        parts = name.split('/')
-        groups.setdefault(parts[0], {})[name] = path
+    for name in testsuite_paths:
+        groups.setdefault(name.split('/')[0], []).append(name)
 
-    for name_or_path in selection:
-
+    testsuites = {}
+    for item in selection:
         try:
-
-            if (os.path.isfile(name_or_path)
-                    and name_or_path not in testsuite_paths
-                    and name_or_path not in groups):
-
-                # load from path
-                parts = name_or_path.split(os.path.sep)
-                name = os.path.splitext(parts[-1])[0]
-                if len(parts) > 1:
-                    name = parts[-2] + '/' + name
-                testsuites[name] = load_testsuite(name_or_path)
-
-            elif name_or_path in groups:
-
-                for name, path in groups[name_or_path].items():
-                    testsuites[name] = load_testsuite(path)
-
+            if item in groups:
+                for name in groups[item]:
+                    testsuites[name] = _load_plugin(testsuite_paths[name])
+            elif item in testsuite_paths:
+                testsuites[item] = _load_plugin(testsuite_paths[item])
+            elif os.path.isfile(item):
+                testsuites[_name_from_path(item)] = _load_plugin(item)
             else:
-
-                name = name_or_path
-                if name in testsuite_paths:
-                    testsuites[name] = load_testsuite(testsuite_paths[name])
-                else:
-                    lo.warning('could not find testsuite "%s"' % name)
-
+                lo.warning('could not find testsuite "%s"' % item)
         except genes.TestsuiteLoadingException as e:
             if raise_exception:
-                raise e
-            lo.error('could not load testsuite from "%s" : %s'
-                     % (name_or_path, e))
+                raise
+            lo.error('could not load testsuite from "%s" : %s' % (item, e))
 
     return testsuites
 
 
+def _resolve(name, testsuites, testsuite_paths):
+    ''' find an already-loaded testsuite or a registry path by full name,
+        falling back to matching the short (post-slash) name '''
+    if name in testsuites:
+        return testsuites[name]
+    if name in testsuite_paths:
+        return _load_plugin(testsuite_paths[name])
+    for fullname, path in testsuite_paths.items():
+        if fullname.split('/')[-1] == name:
+            lo.info('mapping testsuite "%s" to "%s"' % (name, fullname))
+            return testsuites.get(fullname) or _load_plugin(path)
+    return None
+
+
+def _check_compatible(name, json_version, testsuite):
+    ''' the loaded testsuite must be same-major and not older than what
+        produced the json (reference testsuites.py:212-218) '''
+    wanted = StrictVersion(json_version)
+    loaded = StrictVersion(testsuite.version)
+    if loaded < wanted or loaded.version[0] != wanted.version[0]:
+        raise TestsuiteVersionConflictException(
+            'incompatible versions testsuite "%s" : expected %s found %s'
+            % (name, wanted, loaded))
+
+
 def update_testsuites(testsuites, names_versions, testsuite_paths):
-    ''' add testsuites (by possibly-short name) enforcing version
-        compatibility: loaded version >= json version, same major
-        (reference testsuites.py:180-220) '''
+    ''' add the testsuites recorded in a result ``.json`` (name -> version,
+        names possibly short) to ``testsuites``, enforcing version
+        compatibility '''
     for name, version in names_versions.items():
-
-        testsuite = load_get_testsuite(testsuites, name, testsuite_paths)
-
+        testsuite = _resolve(name, testsuites, testsuite_paths)
         if testsuite is None:
             raise genes.TestsuiteLoadingException(
                 'could not find testsuite "%s"' % name)
-
-        v = StrictVersion(version)
-        tv = StrictVersion(testsuite.version)
-
-        if tv < v or tv.version[0] != v.version[0]:
-            raise TestsuiteVersionConflictException(
-                'incompatible versions testsuite "%s" : '
-                'expected %s found %s' % (name, v, tv))
-
+        _check_compatible(name, version, testsuite)
         testsuites[name] = testsuite
