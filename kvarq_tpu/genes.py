@@ -30,32 +30,38 @@ class Genome:
         self.path = path
         self.f = open(path, 'r')
 
-        if self.f.read(1) == '>':
-            self.fasta = True
-            self.f.seek(0)
-            defline = self.f.readline()
-            idx = defline.find(' ')
-            if identifier is None:
-                identifier = defline[1:] if idx == -1 else defline[1:idx]
-            if description is None and idx != -1 and idx < len(defline):
-                description = defline[idx + 1:]
-
-            self.bases = ''.join(line.rstrip('\n\r')
-                                 for line in self.f.readlines())
-            if '>' in self.bases:
-                lo.info('%s contains several genomes; only first read' % path)
-                self.bases = self.bases[:self.bases.index('>')]
-            self.size = len(self.bases)
-            self.f.close()
-            lo.debug('read %d bytes FASTA sequence "%s" into memory' % (
-                self.size, identifier))
+        self.fasta = self.f.read(1) == '>'
+        if self.fasta:
+            identifier, description = self._load_fasta(identifier,
+                                                       description)
         else:
-            self.fasta = False
             self.f.seek(0, 2)
             self.size = self.f.tell()
 
         self.identifier = identifier
         self.description = description
+
+    def _load_fasta(self, identifier, description):
+        ''' read the first FASTA sequence into memory; identifier and
+            description default to the defline's fields '''
+        self.f.seek(0)
+        defline = self.f.readline()
+        space = defline.find(' ')
+        if identifier is None:
+            identifier = defline[1:] if space == -1 else defline[1:space]
+        if description is None and -1 < space < len(defline):
+            description = defline[space + 1:]
+
+        self.bases = ''.join(line.rstrip('\n\r') for line in self.f)
+        if '>' in self.bases:
+            lo.info('%s contains several genomes; only first read'
+                    % self.path)
+            self.bases = self.bases[:self.bases.index('>')]
+        self.size = len(self.bases)
+        self.f.close()
+        lo.debug('read %d bytes FASTA sequence "%s" into memory'
+                 % (self.size, identifier))
+        return identifier, description
 
     def read(self, pos, length):
         ''' read ``length`` bases starting at 1-indexed position ``pos``
@@ -93,39 +99,43 @@ class Gene:
             promoter_end = start
         self.promoter_end = promoter_end
 
-    def mut2str(self, pos, newbase):
-        ''' render mutation at absolute genome position ``pos`` (newbase on
-            the + strand) as ``gene.XnY`` aa change, promoter mutation, ``?``
-            (outside gene) or base change for non-coding genes
-            (reference genes.py:141-181) '''
-
-        if pos < self.promoter_end:
-            return '%s promoter mutation %d' % (
-                self.identifier, pos - self.promoter_end)
-        elif pos < self.start or pos > self.stop:
-            return '?'
-
-        pos1 = pos - self.start + 1
-        codon_nr = (pos - self.start) // 3 + 1
-        codon_start = self.start + (codon_nr - 1) * 3
-        codon_mut = pos - codon_start
+    def _codon_context(self, pos, newbase):
+        ''' resolve a + strand mutation at ``pos`` into strand-local
+            coordinates: (base_nr, codon_nr, codon Sequence, offset of the
+            mutation within the codon, old base, new base) -- all relative
+            to the gene's own strand '''
+        offset = pos - self.start
+        codon_start = self.start + (offset // 3) * 3
         codon = self.genome.seq(codon_start, codon_start + 2)
         oldbase = self.genome.read(pos, 1)
 
-        if not self.plus_strand:
-            pos1 = self.stop - pos + 1
-            codon_nr = (self.stop - pos) // 3 + 1
-            codon_mut = 2 - codon_mut
-            codon = codon.reverse()
-            newbase = codon.pairs[newbase]
-            oldbase = codon.pairs[oldbase]
+        if self.plus_strand:
+            return (offset + 1, offset // 3 + 1, codon,
+                    pos - codon_start, oldbase, newbase)
+        # minus strand: mirror position and codon, complement the bases
+        return (self.stop - pos + 1, (self.stop - pos) // 3 + 1,
+                codon.reverse(), 2 - (pos - codon_start),
+                codon.pairs[oldbase], codon.pairs[newbase])
+
+    def mut2str(self, pos, newbase):
+        ''' render a mutation at absolute genome position ``pos`` (newbase
+            on the + strand) as ``gene.XnY`` aa change, promoter mutation,
+            ``?`` (outside gene) or base change for non-coding genes
+            (reference genes.py:141-181) '''
+        if pos < self.promoter_end:
+            return '%s promoter mutation %d' % (
+                self.identifier, pos - self.promoter_end)
+        if pos < self.start or pos > self.stop:
+            return '?'
+
+        base_nr, codon_nr, codon, codon_mut, oldbase, newbase = \
+            self._codon_context(pos, newbase)
 
         if self.coding:
-            aa1 = codon.transcribe()
-            aa2 = codon.transcribe(mutations=((codon_mut, newbase),))
-            return self.identifier + '.' + aa1 + str(codon_nr) + aa2
-        else:
-            return self.identifier + '.' + str(pos1) + oldbase + newbase
+            before = codon.transcribe()
+            after = codon.transcribe(mutations=((codon_mut, newbase),))
+            return '%s.%s%d%s' % (self.identifier, before, codon_nr, after)
+        return '%s.%d%s%s' % (self.identifier, base_nr, oldbase, newbase)
 
     def __str__(self):
         if self.plus_strand:
@@ -200,20 +210,24 @@ class Sequence:
             return base
         return self.pairs[base]
 
+    def _codon_at(self, pos0, mutations):
+        ''' the three bases starting at ``pos0`` with any ``mutations``
+            [(pos, base), ...] falling inside substituted '''
+        codon = list(self[pos0:pos0 + 3])
+        for mpos, newbase in mutations:
+            if pos0 <= mpos < pos0 + 3:
+                codon[mpos - pos0] = newbase
+        return ''.join(codon)
+
     def get_aa(self, pos, mutations=()):
         ''' amino acid of the codon containing base position ``pos`` after
             applying ``mutations`` [(pos, base), ...] '''
-        pos0 = pos - pos % 3
-        codon = list(self[pos0:pos0 + 3])
-        for mpos, newbase in mutations:
-            if 0 <= mpos - pos0 < 3:
-                codon[mpos - pos0] = newbase
-        return self.code[''.join(codon)]
+        return self.code[self._codon_at(pos - pos % 3, mutations)]
 
     def transcribe(self, mutations=()):
         ''' one-letter amino acid string after applying ``mutations`` '''
-        return ''.join(self.get_aa(p * 3, mutations)
-                       for p in range(len(self) // 3))
+        return ''.join(self.code[self._codon_at(pos0, mutations)]
+                       for pos0 in range(0, len(self) // 3 * 3, 3))
 
     def apply_mutations(self, mutations):
         bases = list(self.bases)
@@ -298,29 +312,23 @@ class TemplateFromGenome(DynamicTemplate):
         return seq.transcribe()
 
     def mutations(self, coverage):
-        ''' filter ``coverage.mutations`` down to the most prevalent mutation
-            per in-region position, subject to the prevalence threshold
-            ``n > 1 and n > mean - 1.5*std`` (reference genes.py:424-449;
-            note ``std`` uses the full-array quirk, see Coverage.std) '''
-        ret = []
+        ''' the most prevalent alternate base per in-region position,
+            subject to the prevalence gate ``n > 1 and n > mean - 1.5*std``
+            (reference genes.py:424-449; ``std`` keeps its full-array
+            quirk, see Coverage.std) '''
+        threshold = max(1, coverage.mean() - 1.5 * coverage.std())
+        region = range(coverage.start, coverage.start + len(self.seq()))
 
-        mean = coverage.mean()
-        std = coverage.std()
-
+        found = []
         for cpos, bases in coverage.mutations.items():
-            # ignore mutations outside template region
-            if cpos < coverage.start or cpos - coverage.start >= len(self.seq()):
+            if cpos not in region:
                 continue
-
-            # pick most prevalent mutation; ties resolved deterministically
-            # by base order (reference iterates an unordered set here)
-            basecounts = [(base, bases.count(base)) for base in sorted(set(bases))]
-            base, n = sorted(basecounts, key=lambda x: -x[1])[0]
-
-            if n > 1 and n > mean - 1.5 * std:
-                ret.append((cpos - coverage.start, base))
-
-        return ret
+            # most prevalent alternate; ties resolved alphabetically
+            # (deterministic, where the reference iterated a py2 set)
+            base = max(sorted(set(bases)), key=bases.count)
+            if bases.count(base) > threshold:
+                found.append((cpos - coverage.start, base))
+        return found
 
     def aa_mutations(self, mutations):
         ''' [(aa_pos, old_aa, new_aa), ...] for given [(pos, base), ...] '''
@@ -414,38 +422,43 @@ class Testsuite:
         self.tests = tests
         self.version = version
 
-    def _analyse(self, coverages):
-        ''' generic analysis: report validated SNPs and region mutations '''
-        ret = []
+    @staticmethod
+    def _describe_region_mutation(test, pos, newbase):
+        ''' render one region mutation: absolute position + base change,
+            with the aa annotation when the genotype names a gene '''
+        genome_pos = pos + test.template.start
+        text = '%d%s%s' % (genome_pos, test.template.seq()[pos], newbase)
+        if test.genotype.gene:
+            text += '=' + test.genotype.gene.mut2str(genome_pos, newbase)
+        return text
 
+    def _analyse(self, coverages):
+        ''' generic analysis: validated SNPs by test name, region
+            mutations as annotated base changes '''
+        findings = []
         for test in self.tests:
             coverage = coverages[test]
-            seq = test.template.seq()
-
             if isinstance(test.template, SNP):
                 if test.template.validate(coverage):
-                    ret.append(str(test))
-
+                    findings.append(str(test))
             elif isinstance(test.template, TemplateFromGenome):
-                for pos, newbase in test.template.mutations(coverage):
-                    oldbase = seq[pos]
-                    ret.append('%d%s%s' % (
-                        pos + test.template.start, oldbase, newbase))
-                    if test.genotype.gene:
-                        ret[-1] += '=' + test.genotype.gene.mut2str(
-                            pos + test.template.start, newbase)
-        return ret
+                findings.extend(
+                    self._describe_region_mutation(test, pos, newbase)
+                    for pos, newbase
+                    in test.template.mutations(coverage))
+        return findings
 
     def analyse(self, analyser):
         ''' :param analyser: :py:class:`kvarq_tpu.analyse.Analyser` holding
             scan results
             :returns: findings (string or list of strings) '''
-        test = None
-        try:
-            coverages = dict((test, analyser[test]) for test in self.tests)
-        except KeyError:
-            raise AnalysisException(
-                'template "%s" not found' % str(test.template))
+        coverages = {}
+        for test in self.tests:
+            try:
+                coverages[test] = analyser[test]
+            except KeyError:
+                raise AnalysisException(
+                    'template "%s" not found' % str(test.template))
         return self._analyse(coverages)
 
     def __str__(self):
