@@ -104,6 +104,48 @@ def bench_path(tag):
         '/tmp', 'kvarq_bench_%s_%dx%d.fastq' % (tag, N_READS, READLEN))
 
 
+def oracle_basecounts(found, seqs):
+    ''' rebuild per-strand [5, S] base counts from a findseqs hit list
+        (the numpy oracle's output) -- the exact quantity countseqs
+        accumulates on device '''
+    from kvarq_tpu.engine import encode
+    counts = [np.zeros((encode.NBASE, len(s)), np.int64) for s in seqs]
+    for hit, hitseq in zip(found['hits'], found['hitseqs']):
+        start = max(0, hit.seq_pos)
+        codes = encode.encode_read(hitseq.encode('latin-1'))
+        np.add.at(counts[hit.seq_nr],
+                  (np.minimum(codes, encode.NBASE - 1),
+                   start + np.arange(len(codes))), 1)
+    return counts
+
+
+def assert_device_matches_oracle(device_ret, path, seqs):
+    ''' compare a countseqs() result against the byte-exact numpy golden
+        matcher on the same input; abort the bench on ANY divergence '''
+    from kvarq_tpu import engine
+
+    engine.config(backend='numpy', sieve='off')
+    try:
+        found = engine.findseqs(path, seqs)
+    finally:
+        engine.config(backend=os.environ.get('KVARQ_BACKEND', 'auto'),
+                      sieve=os.environ.get('KVARQ_SIEVE', 'auto'))
+
+    dev, ora = device_ret['stats'], found['stats']
+    for key in ('nseqhits', 'nseqbasehits', 'records_parsed'):
+        if dev[key] != ora[key]:
+            raise SystemExit('BIT-EXACTNESS FAILURE: stats[%r] device=%r '
+                             'oracle=%r' % (key, dev[key], ora[key]))
+    want = oracle_basecounts(found, seqs)
+    for t, (got, exp) in enumerate(zip(device_ret['basecounts'], want)):
+        if not np.array_equal(np.asarray(got, np.int64), exp):
+            raise SystemExit('BIT-EXACTNESS FAILURE: basecounts[%d] '
+                             '(template %r...) differ' % (t, seqs[t][:20]))
+    total = int(np.asarray(dev['nseqhits']).sum())
+    print('bit-exactness vs numpy oracle: OK (%d hits, %d templates)'
+          % (total, len(seqs)), file=sys.stderr)
+
+
 def main():
     from kvarq_tpu import engine
 
@@ -140,9 +182,13 @@ def main():
                         break
                     g.write(line)
         t0 = time.time()
-        engine.countseqs(wpath, seqs)
+        warm = engine.countseqs(wpath, seqs)
         print('warmup (incl. compile): %.1fs' % (time.time() - t0),
               file=sys.stderr)
+        # bit-exactness gate: the device path must reproduce the numpy
+        # oracle exactly on the warmup prefix -- a miscounting kernel
+        # must fail the bench, not ship a wrong perf number
+        assert_device_matches_oracle(warm, wpath, seqs)
 
     # peak over a few runs: wall-clock on the shared TPU attachment
     # varies ~2x with external load, and peak is the honest measure of

@@ -31,6 +31,9 @@
 #include <vector>
 
 #include <zlib.h>
+#ifdef KVARQ_USE_LIBDEFLATE
+#include <libdeflate.h>   // ~3x zlib inflate; whole-member API only
+#endif
 
 namespace {
 
@@ -58,6 +61,23 @@ struct Stream {
     int64_t fsize = 0;          // on-disk size
     int64_t compressed_read = 0;
     int64_t produced = 0;       // decompressed bytes yielded
+    // background whole-file libdeflate decode (small gz files): once
+    // ready, decompressed bytes are served from `bg->dec` instead of
+    // streaming through zlib
+    struct BgDecode* bg = nullptr;
+    bool bg_serving = false;
+    int64_t known_total = -1;   // exact decompressed size once known
+};
+
+// background decode of a whole (small) gz file with libdeflate (~3x
+// zlib): runs concurrently with the zlib streaming path, which serves
+// reads until the decode is ready; `state` 1=running 2=ready 3=unusable.
+// The thread opens the file independently and shares nothing with the
+// consumer but this struct.
+struct BgDecode {
+    std::thread thr;
+    std::atomic<int> state{1};
+    std::vector<uint8_t> dec;
 };
 
 // one record-aligned span of decompressed data plus its processed outputs
@@ -143,6 +163,7 @@ struct Reader {
     std::string split_error;        // guarded by in_mtx
     WorkItem* cur = nullptr;        // partially drained item
     size_t cur_i = 0;
+
 };
 
 void update_total(Reader* r) {
@@ -151,10 +172,14 @@ void update_total(Reader* r) {
     r->total = t;
 }
 
-bool open_stream(Reader* r, Stream& s) {
+#ifdef KVARQ_USE_LIBDEFLATE
+void bg_decode_main(BgDecode* bg, std::string fname, int64_t fsize);
+#endif
+
+bool open_stream(Stream& s, std::string* err) {
     s.f = std::fopen(s.fname.c_str(), "rb");
     if (!s.f) {
-        r->error = "cannot open '" + s.fname + "'";
+        *err = "cannot open '" + s.fname + "'";
         return false;
     }
     std::fseek(s.f, 0, SEEK_END);
@@ -166,28 +191,62 @@ bool open_stream(Reader* r, Stream& s) {
         std::memset(&s.zs, 0, sizeof(s.zs));
         // 16+MAX_WBITS: gzip wrapper (header parse incl. extra fields)
         if (inflateInit2(&s.zs, 16 + MAX_WBITS) != Z_OK) {
-            r->error = "inflateInit failed for '" + s.fname + "'";
+            *err = "inflateInit failed for '" + s.fname + "'";
             return false;
         }
         s.z_init = true;
         s.zin.resize(1u << 20);
+#ifdef KVARQ_USE_LIBDEFLATE
+        const char* e = std::getenv("KVARQ_LIBDEFLATE");
+        if (s.fsize > 0 && s.fsize <= (int64_t)64 * 1024 * 1024 &&
+            !(e && e[0] == '0')) {
+            s.bg = new BgDecode();
+            s.bg->thr = std::thread(bg_decode_main, s.bg, s.fname, s.fsize);
+        }
+#endif
     }
     return true;
 }
 
 void close_stream(Stream& s) {
+    if (s.bg) {
+        if (s.bg->thr.joinable()) s.bg->thr.join();
+        delete s.bg;
+        s.bg = nullptr;
+        s.bg_serving = false;
+    }
     if (s.z_init) { inflateEnd(&s.zs); s.z_init = false; }
     if (s.f) { std::fclose(s.f); s.f = nullptr; }
 }
 
 // read up to `want` decompressed bytes from stream; 0 = stream EOF, -1 = error
-long stream_read(Reader* r, Stream& s, uint8_t* out, size_t want) {
+long stream_read(Stream& s, uint8_t* out, size_t want, std::string* err) {
     if (!s.is_gz) {
         size_t n = std::fread(out, 1, want, s.f);
         s.produced += (long)n;
         s.compressed_read += (long)n;
         return (long)n;
     }
+#ifdef KVARQ_USE_LIBDEFLATE
+    if (s.bg && !s.bg_serving &&
+        s.bg->state.load(std::memory_order_acquire) == 2) {
+        // background decode finished: serve the rest from its buffer
+        // (picking up exactly where the zlib stream left off -- both
+        // decode the same file, so the bytes are identical)
+        s.bg_serving = true;
+        s.known_total = (int64_t)s.bg->dec.size();
+        s.compressed_read = s.fsize;
+    }
+    if (s.bg_serving) {
+        const std::vector<uint8_t>& dec = s.bg->dec;
+        size_t pos = (size_t)s.produced;
+        size_t n = pos < dec.size() ? dec.size() - pos : 0;
+        if (n > want) n = want;
+        std::memcpy(out, dec.data() + pos, n);
+        s.produced += (long)n;
+        return (long)n;
+    }
+#endif
     size_t got = 0;
     while (got < want) {
         if (s.zin_pos == s.zin_len) {
@@ -207,7 +266,7 @@ long stream_read(Reader* r, Stream& s, uint8_t* out, size_t want) {
             // multi-stream gz: restart inflate mid-file
             // (workhorse.c:841-866)
             if (inflateReset(&s.zs) != Z_OK) {
-                r->error = "inflateReset failed in '" + s.fname + "'";
+                *err = "inflateReset failed in '" + s.fname + "'";
                 return -1;
             }
             // trailing garbage after the last stream ends the file
@@ -215,8 +274,8 @@ long stream_read(Reader* r, Stream& s, uint8_t* out, size_t want) {
             continue;
         }
         if (ret != Z_OK && ret != Z_BUF_ERROR) {
-            r->error = "error inflating '" + s.fname + "': " +
-                       (s.zs.msg ? s.zs.msg : zError(ret));
+            *err = "error inflating '" + s.fname + "': " +
+                   (s.zs.msg ? s.zs.msg : zError(ret));
             return -1;
         }
         if (ret == Z_BUF_ERROR && s.zin_pos == s.zin_len &&
@@ -225,6 +284,76 @@ long stream_read(Reader* r, Stream& s, uint8_t* out, size_t want) {
     }
     s.produced += (long)got;
     return (long)got;
+}
+
+// ---- accelerated gz decode ----------------------------------------------
+
+#ifdef KVARQ_USE_LIBDEFLATE
+// body of the background decode thread: slurp the compressed file and
+// decode all gzip members (multi-stream semantics, workhorse.c:841-866)
+// into bg->dec.  Any failure -- short read, bad data, pathological
+// ratio -- just marks the decode unusable (state 3); the concurrent zlib
+// streaming path keeps going and reports errors with its own messages.
+void bg_decode_main(BgDecode* bg, std::string fname, int64_t fsize) {
+    FILE* f = std::fopen(fname.c_str(), "rb");
+    std::vector<uint8_t> in((size_t)fsize);
+    bool ok = f && std::fread(in.data(), 1, in.size(), f) == in.size();
+    if (f) std::fclose(f);
+    libdeflate_decompressor* d =
+        ok ? libdeflate_alloc_decompressor() : nullptr;
+    if (!d) {
+        bg->state.store(3, std::memory_order_release);
+        return;
+    }
+    size_t pos = 0;       // consumed compressed bytes
+    size_t len = 0;       // produced decompressed bytes
+    bg->dec.resize(in.size() * 4 + (1u << 20));
+    while (ok && pos < in.size()) {
+        size_t ain = 0, aout = 0;
+        libdeflate_result res = libdeflate_gzip_decompress_ex(
+            d, in.data() + pos, in.size() - pos,
+            bg->dec.data() + len, bg->dec.size() - len, &ain, &aout);
+        if (res == LIBDEFLATE_INSUFFICIENT_SPACE &&
+            bg->dec.size() < (size_t)1 << 30) {
+            bg->dec.resize(bg->dec.size() * 2);
+            continue;
+        }
+        if (res != LIBDEFLATE_SUCCESS) {
+            ok = false;
+            break;
+        }
+        pos += ain;
+        len += aout;
+    }
+    libdeflate_free_decompressor(d);
+    if (!ok) {
+        bg->dec.clear();
+        bg->dec.shrink_to_fit();
+        bg->state.store(3, std::memory_order_release);
+        return;
+    }
+    bg->dec.resize(len);
+    bg->state.store(2, std::memory_order_release);
+}
+#endif
+
+// refresh the decompressed-size estimate: exact when the stream was fully
+// decoded, else from the compression ratio so far (workhorse.c:882-884)
+void refine_est(Reader* r, size_t si) {
+    Stream& s = r->streams[si];
+    if (!s.is_gz || s.fsize <= 0) return;
+    if (s.known_total >= 0) {
+        r->est[si] = s.known_total;
+        update_total(r);
+        return;
+    }
+    double frac = (double)s.compressed_read / (double)s.fsize;
+    if (frac > 1.0) frac = 1.0;
+    if (frac > 1e-9) {
+        int64_t e = (int64_t)((double)s.produced / frac);
+        r->est[si] = e > s.produced ? e : s.produced;
+    }
+    update_total(r);
 }
 
 // pull the next chunk into r->buf (after the unparsed leftover);
@@ -239,10 +368,10 @@ long fill_buf(Reader* r) {
     }
     while (r->cur_stream < r->streams.size()) {
         Stream& s = r->streams[r->cur_stream];
-        if (!s.f && !open_stream(r, s)) return -1;
+        if (!s.f && !open_stream(s, &r->error)) return -1;
         size_t old = r->buf.size();
         r->buf.resize(old + CHUNKSIZE);
-        long n = stream_read(r, s, r->buf.data() + old, CHUNKSIZE);
+        long n = stream_read(s, r->buf.data() + old, CHUNKSIZE, &r->error);
         if (n < 0) return -1;
         r->buf.resize(old + (size_t)n);
         if (n == 0) {
@@ -253,17 +382,7 @@ long fill_buf(Reader* r) {
             r->cur_stream++;
             continue;
         }
-        if (s.is_gz && s.fsize > 0) {
-            // refine decompressed-size estimate from the compression
-            // ratio so far (workhorse.c:882-884)
-            double frac = (double)s.compressed_read / (double)s.fsize;
-            if (frac > 1.0) frac = 1.0;
-            if (frac > 1e-9) {
-                int64_t e = (int64_t)((double)s.produced / frac);
-                r->est[r->cur_stream] = e > s.produced ? e : s.produced;
-            }
-            update_total(r);
-        }
+        refine_est(r, r->cur_stream);
         r->parsed = r->buf_offset + (int64_t)r->buf.size();
         return n;
     }

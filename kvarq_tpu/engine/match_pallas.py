@@ -47,14 +47,14 @@ class PallasMatcher:
             arrays = pallas_scan.device_arrays(bank, TQ=self.TQ)
             B = self.sub
             Qp = arrays['qmeta'].shape[1]
+            nch = pallas_scan.bank_channels(bank.codes)
             kcall = pallas_scan.match_stats_call(
                 Lpad, Qp, B, self.maxerrors, self.minoverlap,
                 TB=self.TB, TQ=self.TQ,
-                interpret=(self.platform == 'cpu'))
+                interpret=(self.platform == 'cpu'), nch=nch)
 
             def hit_flags(codes, rl, K, qmeta):
-                read_oh = jax.nn.one_hot(codes, encode.NBASE,
-                                         dtype=jnp.bfloat16)
+                read_oh = jax.nn.one_hot(codes, nch, dtype=jnp.bfloat16)
                 read_flat = read_oh.reshape(B, -1)
                 rl2d = jnp.broadcast_to(
                     rl.astype(jnp.int32)[:, None], (B, 128))

@@ -51,6 +51,7 @@ class _Bank:
 
     def __init__(self, seqs, Lpad, minoverlap=None):
         self.Lpad = Lpad
+        self.minoverlap = minoverlap
         codes = []
         tstart = []
         gaps = []

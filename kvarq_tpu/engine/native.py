@@ -34,10 +34,19 @@ _lib_failed = False
 
 
 def _build():
-    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC', '-pthread',
-           '-o', LIB, SRC, '-lz']
-    lo.info('building native reader: %s' % ' '.join(cmd))
-    subprocess.run(cmd, check=True, capture_output=True)
+    base = ['g++', '-O3', '-march=native', '-shared', '-fPIC', '-pthread',
+            '-o', LIB, SRC, '-lz']
+    # libdeflate (~3x zlib inflate) accelerates the gz producer pipeline
+    # when present; plain zlib otherwise
+    for cmd in (base[:-1] + ['-DKVARQ_USE_LIBDEFLATE', '-lz', '-ldeflate'],
+                base):
+        lo.info('building native reader: %s' % ' '.join(cmd))
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            return
+        except subprocess.CalledProcessError:
+            continue
+    subprocess.run(base, check=True, capture_output=True)
 
 
 def get_lib():

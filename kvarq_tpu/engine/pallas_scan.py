@@ -14,14 +14,24 @@ and immediately gates + reduces it on the VPU without leaving VMEM:
   step owns one block -- no non-consecutive output revisits) and reduced
   by XLA.
 
+Reads and bank are matched as **bf16 one-hot on the MXU** -- match
+counts are small integers (<= Lpad), exact in f32 accumulation, and cast
+losslessly to int32 for the all-integer mode gating on the VPU.  (An
+int8/int32 formulation was measured ~1.8x *slower*: Mosaic does not
+lower int8 dots to the v5e MXU's int8 mode.)  When the bank contains no
+``N`` the one-hot narrows to 4 channels: a read ``N`` then one-hots to
+the zero vector and mismatches everywhere, which is exact since nothing
+in the bank could match it -- a 20% FLOP cut on N-free banks (the norm).
+
 Coverage accumulation (the second MXU contraction) is NOT in the kernel:
 hits are sparse in real FastQs, so :py:func:`scan_step_banked` compacts
 the hitting reads (using the per-read totals) and runs the small
-``[k, Q]`` recompute + scatter as plain XLA matmuls.
+``[k, Q]`` recompute + scatter as plain XLA matmuls (5-channel there --
+coverage must count read ``N`` bases).
 
 Replicates the reference hot loop semantics (workhorse.c:1107-1174) via
 the shared mode-weight formulas in kvarq_tpu.engine.tensor_scan; output is
-bit-identical to the XLA and numpy matchers (integer counts in f32).
+bit-identical to the XLA and numpy matchers (exact integer counts).
 '''
 
 import functools
@@ -30,8 +40,16 @@ import numpy as np
 
 from kvarq_tpu.engine import encode
 
-# q-metadata row indices in the packed [8, Qp] int32 array
+# q-metadata row indices in the packed [8, Qp] int32 array.  Rows 3-6
+# are kernel-side precomputations: MXD = max(0, d) (set to a huge value
+# on invalid/padded columns so their overlap length goes very negative
+# and every mode fails arithmetically), SD = seql - d (so the mode-B
+# border test t1 >= seql becomes the outer compare rl >= SD), CA/CB =
+# the per-column parts of the mode-A/B gates
+# (valid & seql > minoverlap & d <0 / >0).
 ROW_D, ROW_SEQL, ROW_VALID = 0, 1, 2
+ROW_MXD, ROW_SD, ROW_CA, ROW_CB = 3, 4, 5, 6
+INVALID_MXD = 1 << 20
 
 # tuned on v5e (see tools/tune log in git history): throughput is mostly
 # set by the per-call batch size; tiles matter little beyond alignment
@@ -43,17 +61,38 @@ def _ceil_to(x, m):
     return -(-x // m) * m
 
 
+def bank_channels(bank_codes):
+    ''' one-hot channels needed to match this bank exactly: 4 (ACGT) when
+        the bank is N-free -- read N one-hots to zero and thus mismatches,
+        which is exact since nothing in the bank could match it -- else
+        the full 5 '''
+    return encode.NBASE if (np.asarray(bank_codes) == encode.N).any() \
+        else encode.NBASE - 1
+
+
 def pack_qmeta(bank, TQ=DEF_TQ, Qp=None):
     ''' pack per-shift-column metadata into one sublane-aligned [8, Qp]
-        int32 array (rows: d_of, seql_of, valid) '''
+        int32 array (rows: see the ROW_* constants) '''
     Q = bank.Q
+    mo = bank.minoverlap if bank.minoverlap is not None else 0
     if Qp is None:
         Qp = max(_ceil_to(Q, TQ), TQ)
     qmeta = np.zeros((8, Qp), dtype=np.int32)
     qmeta[ROW_SEQL, :] = 1
     qmeta[ROW_D, :Q] = bank.d_of
     qmeta[ROW_SEQL, :Q] = bank.seql_of
-    qmeta[ROW_VALID, :Q] = (bank.tid >= 0)
+    valid = np.zeros(Qp, dtype=bool)
+    valid[:Q] = bank.tid >= 0
+    qmeta[ROW_VALID] = valid
+    # kernel-side precomputations: on invalid columns MXD is huge, which
+    # drives the overlap length far negative so no mode can fire there
+    # (the in-kernel gating then needs no explicit `valid` term)
+    qmeta[ROW_MXD] = np.where(valid, np.maximum(0, qmeta[ROW_D]),
+                              INVALID_MXD)
+    qmeta[ROW_SD] = qmeta[ROW_SEQL] - qmeta[ROW_D]
+    ab_col = valid & (qmeta[ROW_SEQL] > mo)
+    qmeta[ROW_CA] = ab_col & (qmeta[ROW_D] < 0)
+    qmeta[ROW_CB] = ab_col & (qmeta[ROW_D] > 0)
     return qmeta
 
 
@@ -67,65 +106,75 @@ def pack_tseg(bank, T, TQ=DEF_TQ, Qp=None):
     return tseg
 
 
-def build_K_np(bank_codes, Lpad, Qp):
+def build_K_np(bank_codes, Lpad, Qp, nch=None):
     ''' im2col'd one-hot bank: K[(j,c), q] = onehot(bank[q-(Lpad-1)+j])[c],
         zero past the real Q -- padded columns carry valid=0 and never
-        pass.  Built on host: doing the 128 slices inside a jit graph
-        costs minutes of (remote) compile time for zero runtime benefit
-        since K is computed once per bank. '''
+        pass.  bf16 for the MXU; ``nch`` channels (see
+        :py:func:`bank_channels`).  Built on host: doing the Lpad slices
+        inside a jit graph costs minutes of (remote) compile time for zero
+        runtime benefit since K is computed once per bank. '''
     import ml_dtypes
+    if nch is None:
+        nch = bank_channels(bank_codes)
     G = len(bank_codes)
-    oh = np.zeros((encode.NBASE, G + 2 * (Lpad - 1) + (Qp - G - Lpad + 1)),
+    oh = np.zeros((nch, G + 2 * (Lpad - 1) + (Qp - G - Lpad + 1)),
                   dtype=np.float32)
-    for c in range(encode.NBASE):
+    for c in range(nch):
         oh[c, Lpad - 1:Lpad - 1 + G] = (bank_codes == c)
-    K = np.empty((Lpad, encode.NBASE, Qp), dtype=np.float32)
+    K = np.empty((Lpad, nch, Qp), dtype=np.float32)
     for j in range(Lpad):
         K[j] = oh[:, j:j + Qp]
-    return K.reshape(Lpad * encode.NBASE, Qp).astype(ml_dtypes.bfloat16)
+    return K.reshape(Lpad * nch, Qp).astype(ml_dtypes.bfloat16)
 
 
 def _match_kernel(maxerrors, minoverlap,
                   read_ref, rl_ref, k_ref, qmeta_ref,
                   stats_ref, hit_ref):
     ''' one (q-block, b-block) grid step; see module docstring '''
-    import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     b = pl.program_id(1)
+    TQ_ = stats_ref.shape[1]
+    TB_ = hit_ref.shape[1]
 
+    # bf16 x bf16 -> f32 on the MXU; one-hot match counts are small
+    # integers (<= Lpad), exact in f32, and cast losslessly to i32 for
+    # the all-integer gating below
     matches = jnp.dot(read_ref[:], k_ref[:],
-                      preferred_element_type=jnp.float32)    # [TB, TQ]
+                      preferred_element_type=jnp.float32
+                      ).astype(jnp.int32)                    # [TB, TQ] i32
 
     rl = rl_ref[:, 0:1]                                      # [TB, 1] i32
     d = qmeta_ref[ROW_D:ROW_D + 1, :]                        # [1, TQ] i32
     seql = qmeta_ref[ROW_SEQL:ROW_SEQL + 1, :]
-    valid = qmeta_ref[ROW_VALID:ROW_VALID + 1, :]
-
-    # reduced mode gating (see tensor_scan.mode_weights for the algebra;
-    # exhaustively verified equivalent to the four-window enumeration)
-    t1 = d + rl
-    ov_i = jnp.minimum(seql, t1) - jnp.maximum(0, d)         # [TB, TQ] i32
-    ov = ov_i.astype(jnp.float32)
-    mism = ov - matches
+    mxd = qmeta_ref[ROW_MXD:ROW_MXD + 1, :]
+    sd = qmeta_ref[ROW_SD:ROW_SD + 1, :]
+    ca = qmeta_ref[ROW_CA:ROW_CA + 1, :]
+    cb = qmeta_ref[ROW_CB:ROW_CB + 1, :]
     mo = minoverlap
 
-    ab = (rl > mo) & (seql > mo)
-    govmo = ov_i >= mo
-    wA = ab & (d < 0) & govmo & (ov_i != seql)
-    wB = ab & (d > 0) & govmo & (t1 >= seql)
-    full = ov_i == jnp.minimum(rl, seql)
-
-    passing = (valid > 0) & (rl > 0) & (mism <= maxerrors)
-    nmodes = (wA.astype(jnp.float32) + wB.astype(jnp.float32)
-              + full.astype(jnp.float32))
-    w = jnp.where(passing, nmodes, 0.)                       # [TB, TQ] f32
+    # reduced mode gating (see tensor_scan.mode_weights for the algebra;
+    # exhaustively verified equivalent to the four-window enumeration).
+    # Per-column invariants (max(0,d), seql-d, the mode-A/B column gates)
+    # come precomputed in qmeta; invalid/padded columns carry
+    # MXD = 2^20, which drives the overlap length so negative that every
+    # mode fails arithmetically -- no explicit `valid` term needed.
+    ov = jnp.minimum(seql, d + rl) - mxd                     # [TB, TQ] i32
+    govmo = ov >= mo
+    full = ov == jnp.minimum(rl, seql)
+    hit = ov - matches <= maxerrors
+    abg = (rl > mo) & govmo
+    wA = abg & (ca > 0) & (ov != seql)
+    wB = abg & (cb > 0) & (rl >= sd)
+    nmodes = (wA.astype(jnp.int32) + wB.astype(jnp.int32)
+              + full.astype(jnp.int32))
+    w = jnp.where(hit & (rl > 0), nmodes, 0)                 # [TB, TQ] i32
 
     part = jnp.concatenate(
         [jnp.sum(w, axis=0, keepdims=True),
          jnp.sum(w * ov, axis=0, keepdims=True),
-         jnp.zeros((6, w.shape[1]), jnp.float32)], axis=0)   # [8, TQ]
+         jnp.zeros((6, TQ_), jnp.int32)], axis=0)            # [8, TQ]
 
     @pl.when(b == 0)
     def _():
@@ -142,11 +191,11 @@ def _match_kernel(maxerrors, minoverlap,
 
 @functools.lru_cache(maxsize=None)
 def match_stats_call(Lpad, Qp, B, maxerrors, minoverlap,
-                     TB=DEF_TB, TQ=DEF_TQ, interpret=False):
+                     TB=DEF_TB, TQ=DEF_TQ, interpret=False, nch=encode.NBASE):
     '''
-    :returns: jit-able ``f(read_flat [B, Lpad*5] bf16, rl2d [B, 128] i32,
-        K [Lpad*5, Qp] bf16, qmeta [8, Qp] i32) -> (stats [8, Qp] f32,
-        hitpart [8*nQ, B] f32)`` where stats row 0 = w_q, row 1 = wov_q,
+    :returns: jit-able ``f(read_flat [B, Lpad*nch] bf16, rl2d [B, 128] i32,
+        K [Lpad*nch, Qp] bf16, qmeta [8, Qp] i32) -> (stats [8, Qp] i32,
+        hitpart [8*nQ, B] i32)`` where stats row 0 = w_q, row 1 = wov_q,
         and ``hitpart.sum(axis=0)[b]`` = total hit weight of read b
     '''
     import jax
@@ -155,7 +204,7 @@ def match_stats_call(Lpad, Qp, B, maxerrors, minoverlap,
 
     assert B % TB == 0 and Qp % TQ == 0
     nB, nQ = B // TB, Qp // TQ
-    L5 = Lpad * encode.NBASE
+    L5 = Lpad * nch
 
     kernel = functools.partial(_match_kernel, maxerrors, minoverlap)
 
@@ -185,8 +234,8 @@ def match_stats_call(Lpad, Qp, B, maxerrors, minoverlap,
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((8, Qp), jnp.float32),
-                jax.ShapeDtypeStruct((8 * nQ, B), jnp.float32),
+                jax.ShapeDtypeStruct((8, Qp), jnp.int32),
+                jax.ShapeDtypeStruct((8 * nQ, B), jnp.int32),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=2 * B * L5 * Qp,
@@ -201,7 +250,7 @@ def match_stats_call(Lpad, Qp, B, maxerrors, minoverlap,
 
 def device_arrays(bank, TQ=DEF_TQ):
     ''' device-resident bank data for :py:func:`scan_step`: the im2col'd
-        K matrix and packed q metadata '''
+        bf16 K matrix and packed q metadata '''
     import jax
     import jax.numpy as jnp
     qmeta = pack_qmeta(bank, TQ)
@@ -233,7 +282,8 @@ def scan_step(Lpad, bank, T, maxerrors, minoverlap, B,
     tseg_np = pack_tseg(bank, T, TQ)
     inner = scan_step_banked(Lpad, bank.G, qmeta_np.shape[1], T,
                              maxerrors, minoverlap, B, gather_k,
-                             interpret, TB, TQ)
+                             interpret, TB, TQ,
+                             nch=bank_channels(bank.codes))
 
     def step(codes, rl, K, qmeta):
         import jax.numpy as jnp
@@ -244,23 +294,23 @@ def scan_step(Lpad, bank, T, maxerrors, minoverlap, B,
 
 def scan_step_banked(Lpad, G, Qp, T, maxerrors, minoverlap, B,
                      gather_k=1024, interpret=False, TB=DEF_TB,
-                     TQ=DEF_TQ):
+                     TQ=DEF_TQ, nch=encode.NBASE):
     '''
     bank-agnostic variant of :py:func:`scan_step`: all bank data (K,
     qmeta, tseg) are runtime arguments, so the same traced program can
     run on different (equally-shaped) per-shard sub-banks under
-    ``shard_map`` (kvarq_tpu.parallel).
+    ``shard_map`` (kvarq_tpu.parallel).  ``nch`` must match the channel
+    count K was built with (:py:func:`bank_channels`).
     '''
     import jax
     import jax.numpy as jnp
     from jax import lax
     from kvarq_tpu.engine.tensor_scan import mode_weights
 
-    L5 = Lpad * encode.NBASE
     Bp = max(_ceil_to(B, TB), TB)
 
     kcall = match_stats_call(Lpad, Qp, Bp, maxerrors, minoverlap,
-                             TB, TQ, interpret)
+                             TB, TQ, interpret, nch)
     gather_k = min(gather_k, Bp)
 
     def fold(RTw):
@@ -269,22 +319,24 @@ def scan_step_banked(Lpad, G, Qp, T, maxerrors, minoverlap, B,
                    for j in range(Lpad))                     # [5, G]
 
     def step(codes, rl, K, qmeta, tseg):
-        read_oh = jax.nn.one_hot(codes, encode.NBASE, dtype=jnp.bfloat16)
-        read_flat = read_oh.reshape(-1, L5)
+        read_flat = jax.nn.one_hot(codes, nch,
+                                   dtype=jnp.bfloat16).reshape(-1, Lpad * nch)
         rl = rl.astype(jnp.int32)
         if Bp != B:
             read_flat = jnp.pad(read_flat, ((0, Bp - B), (0, 0)))
             rl = jnp.pad(rl, (0, Bp - B))
+            codes = jnp.pad(codes, ((0, Bp - B), (0, 0)),
+                            constant_values=encode.CODE_READ_JUNK)
         rl2d = jnp.broadcast_to(rl[:, None], (Bp, 128))
 
         stats, hitpart = kcall(read_flat, rl2d, K, qmeta)
         w_q, wov_q = stats[0], stats[1]
-        seqhits = jax.ops.segment_sum(
-            w_q, tseg, num_segments=T + 1).astype(jnp.int32)
-        seqbasehits = jax.ops.segment_sum(
-            wov_q, tseg, num_segments=T + 1).astype(jnp.int32)
+        seqhits = jax.ops.segment_sum(w_q, tseg, num_segments=T + 1)
+        seqbasehits = jax.ops.segment_sum(wov_q, tseg, num_segments=T + 1)
 
-        # coverage over compacted hitting reads (sparse in real data)
+        # coverage over compacted hitting reads (sparse in real data);
+        # this pass one-hots the full 5 channels -- read N bases count as
+        # coverage + mutations -- against K's nch channels for matching
         meta = (qmeta[ROW_D:ROW_D + 1], qmeta[ROW_SEQL:ROW_SEQL + 1],
                 qmeta[ROW_VALID:ROW_VALID + 1])
         hit_b = jnp.sum(hitpart, axis=0)                     # [Bp]
@@ -292,22 +344,27 @@ def scan_step_banked(Lpad, G, Qp, T, maxerrors, minoverlap, B,
         (idx,) = jnp.nonzero(hit_b > 0, size=gather_k, fill_value=0)
         fill = (jnp.arange(gather_k) < count)
         rg = read_flat[idx] * fill[:, None].astype(jnp.bfloat16)
+        rg5 = jax.nn.one_hot(codes[idx], encode.NBASE, dtype=jnp.bfloat16) \
+            .reshape(gather_k, Lpad * encode.NBASE) \
+            * fill[:, None].astype(jnp.bfloat16)
         rlg = (rl[idx] * fill)[:, None]
 
         def rtw_gathered(_):
             m = jnp.dot(rg, K, preferred_element_type=jnp.float32)
             w, _ = mode_weights(m, rlg, *meta, maxerrors, minoverlap)
-            return jnp.dot(rg.T, w.astype(jnp.bfloat16),
+            return jnp.dot(rg5.T, w.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32)
 
         def rtw_full(_):
             m = jnp.dot(read_flat, K, preferred_element_type=jnp.float32)
             w, _ = mode_weights(m, rl[:, None], *meta,
                                 maxerrors, minoverlap)
-            return jnp.dot(read_flat.T, w.astype(jnp.bfloat16),
+            read5 = jax.nn.one_hot(codes, encode.NBASE, dtype=jnp.bfloat16) \
+                .reshape(Bp, Lpad * encode.NBASE)
+            return jnp.dot(read5.T, w.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32)
 
         RTw = lax.cond(count <= gather_k, rtw_gathered, rtw_full, None)
-        return fold(RTw), seqhits, seqbasehits
+        return fold(RTw).astype(jnp.float32), seqhits, seqbasehits
 
     return step

@@ -52,11 +52,12 @@ def bank_device_arrays(bank, dtype=None):
 def mode_weights(matches, rl_col, d_row, seql_row, valid_row,
                  maxerrors, minoverlap):
     '''
-    mode gating shared by the XLA and Pallas scan paths: given f32 match
-    counts [B, Q], an i32 read-length column [B, 1] and i32 per-column
-    metadata rows [1, Q], return ``(w, ov)`` -- the f32 hit-mode weight
-    (0/1/2, incl. the mode-B/D border duplicate) and overlap length per
-    (read, shift).  See kvarq_tpu.engine.hitmodel for the semantics
+    mode gating shared by the XLA and Pallas scan paths: given match
+    counts [B, Q] (any dtype holding exact integers), an i32 read-length
+    column [B, 1] and i32 per-column metadata rows [1, Q], return
+    ``(w, ov)`` -- i32 hit-mode weight (0/1/2, incl. the mode-B/D border
+    duplicate) and i32 overlap length per (read, shift).  See
+    kvarq_tpu.engine.hitmodel for the semantics
     (reference workhorse.c:1107-1174).
     '''
     import jax.numpy as jnp
@@ -75,20 +76,19 @@ def mode_weights(matches, rl_col, d_row, seql_row, valid_row,
     # -- roughly half the per-element VPU ops of the naive four-window
     # gating, which otherwise rivals the MXU contraction in kernel time.
     t1 = d + rl_
-    ov_i = jnp.minimum(seql, t1) - jnp.maximum(0, d)
-    ov = ov_i.astype(jnp.float32)
-    mism = ov - matches
+    ov = jnp.minimum(seql, t1) - jnp.maximum(0, d)
+    mism = ov - matches.astype(jnp.int32)
 
     ab = (rl_ > mo) & (seql > mo)
-    govmo = ov_i >= mo
-    wA = ab & (d < 0) & govmo & (ov_i != seql)
+    govmo = ov >= mo
+    wA = ab & (d < 0) & govmo & (ov != seql)
     wB = ab & (d > 0) & govmo & (t1 >= seql)
-    full = ov_i == jnp.minimum(rl_, seql)
+    full = ov == jnp.minimum(rl_, seql)
 
     passing = (valid_row > 0) & (rl_ > 0) & (mism <= maxerrors)
-    nmodes = (wA.astype(jnp.float32) + wB.astype(jnp.float32)
-              + full.astype(jnp.float32))
-    w = jnp.where(passing, nmodes, 0.)
+    nmodes = (wA.astype(jnp.int32) + wB.astype(jnp.int32)
+              + full.astype(jnp.int32))
+    w = jnp.where(passing, nmodes, 0)
     return w, ov
 
 
@@ -142,14 +142,12 @@ def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
             seql_of[None, :], valid_q[None, :].astype(jnp.int32),
             maxerrors, minoverlap)                            # [B, Q] f32
 
-        # 3) per-template stats
+        # 3) per-template stats (mode weights/overlaps are exact int32)
         tseg = jnp.where(tid >= 0, tid, T)
-        w_q = jnp.sum(w, axis=0)                              # [Q]
+        w_q = jnp.sum(w, axis=0)                              # [Q] i32
         wov_q = jnp.sum(w * ov, axis=0)
         seqhits = jax.ops.segment_sum(w_q, tseg, num_segments=T + 1)
         seqbasehits = jax.ops.segment_sum(wov_q, tseg, num_segments=T + 1)
-        seqhits = seqhits.astype(jnp.int32)
-        seqbasehits = seqbasehits.astype(jnp.int32)
 
         # 4) coverage accumulation: scatter each hit's read bases onto bank
         # positions -- one MXU matmul plus a static diagonal fold.

@@ -101,6 +101,11 @@ class ShardBank:
             valid_q=jnp.asarray(self.tid >= 0),
         )
 
+    def channels(self):
+        ''' one-hot channel count, consistent over all shards '''
+        from kvarq_tpu.engine import pallas_scan
+        return pallas_scan.bank_channels(self.codes)
+
     def pallas_device_arrays(self, T, TQ):
         ''' per-shard K / qmeta / tseg stacked to [n_bank, ...] with a
             common padded Qp; tseg uses global template numbering '''
@@ -109,15 +114,17 @@ class ShardBank:
         from kvarq_tpu.engine import pallas_scan
 
         Qp = max(-(-(self.G + self.Lpad - 1) // TQ) * TQ, TQ)
+        nch = self.channels()
         Ks, qmetas, tsegs = [], [], []
         for (lo, hi), b in zip(self.ranges, self.sub):
-            Ks.append(pallas_scan.build_K_np(b.codes, self.Lpad, Qp))
+            Ks.append(pallas_scan.build_K_np(b.codes, self.Lpad, Qp,
+                                             nch=nch))
             qmetas.append(pallas_scan.pack_qmeta(b, Qp=Qp))
             tseg = pallas_scan.pack_tseg(b, T, Qp=Qp)
             tseg[tseg != T] += lo
             tsegs.append(tseg)
         return dict(
-            K=jax.device_put(np.stack(Ks)),          # [nb, L*5, Qp]
+            K=jax.device_put(np.stack(Ks)),          # [nb, L*nch, Qp]
             qmeta=jnp.asarray(np.stack(qmetas)),     # [nb, 8, Qp]
             tseg=jnp.asarray(np.stack(tsegs)),       # [nb, Qp]
         ), Qp
@@ -159,10 +166,11 @@ def sharded_scan_step(mesh, Lpad, G, T, maxerrors, minoverlap,
 
 
 def sharded_scan_step_pallas(mesh, Lpad, G, Qp, T, maxerrors, minoverlap,
-                             B_local, interpret=False, TB=None, TQ=None):
+                             B_local, interpret=False, TB=None, TQ=None,
+                             nch=encode.NBASE):
     '''
     shard_map'd scan step running the fused Pallas kernel per device:
-    ``step(codes [B, Lpad], rl [B], K [nb, L*5, Qp], qmeta [nb, 8, Qp],
+    ``step(codes [B, Lpad], rl [B], K [nb, L*nch, Qp], qmeta [nb, 8, Qp],
     tseg [nb, Qp]) -> (basecount [n_bank, 5, G], seqhits, seqbasehits)``.
     ``B`` must equal ``B_local * n_data`` (pad with rl=0 rows).
     '''
@@ -174,7 +182,8 @@ def sharded_scan_step_pallas(mesh, Lpad, G, Qp, T, maxerrors, minoverlap,
     inner = pallas_scan.scan_step_banked(
         Lpad, G, Qp, T, maxerrors, minoverlap, B_local,
         gather_k=min(512, B_local), interpret=interpret,
-        TB=TB or pallas_scan.DEF_TB, TQ=TQ or pallas_scan.DEF_TQ)
+        TB=TB or pallas_scan.DEF_TB, TQ=TQ or pallas_scan.DEF_TQ,
+        nch=nch)
 
     def shard_fn(codes, rl, K, qmeta, tseg):
         basecount, seqhits, seqbasehits = inner(
@@ -243,7 +252,7 @@ class ShardedScanner:
                     self.mesh, Lpad, bank.G, Qp, self.T, self.maxerrors,
                     self.minoverlap, self.B_LOCAL,
                     interpret=(self.platform == 'cpu'),
-                    TB=self.TB, TQ=self.TQ)
+                    TB=self.TB, TQ=self.TQ, nch=bank.channels())
                 sub = self.B_LOCAL * self.n_data
             else:
                 dtype = 'float32' if self.platform == 'cpu' else 'bfloat16'

@@ -109,7 +109,7 @@ def scan_sharded(fnames, seqs, maxerrors, minoverlap, minreadlength,
         arrays, Qp = bank.pallas_device_arrays(T, pallas_scan.DEF_TQ)
         step = sharded_scan_step_pallas(
             mesh, Lpad, bank.G, Qp, T, maxerrors, minoverlap, b_local,
-            interpret=(platform == 'cpu'))
+            interpret=(platform == 'cpu'), nch=bank.channels())
         args = (arrays['K'], arrays['qmeta'], arrays['tseg'])
     else:
         dtype = 'float32' if platform == 'cpu' else 'bfloat16'
