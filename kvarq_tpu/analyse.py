@@ -195,6 +195,7 @@ class Analyser:
         self.hitseqs = None
         self.stats = None
         self.scantime = 0
+        self.phases = None      # optional per-phase timing (--profile)
         self.coverages = None
         self.results = None
 
@@ -316,7 +317,7 @@ class Analyser:
     # --- result format -------------------------------------------------------------
 
     def _info_block(self):
-        return {
+        info = {
             'format': 'kvarq',
             'fastq': self.fastq_filenames,
             'size': self.fastq_sizes,
@@ -330,6 +331,11 @@ class Analyser:
             'testsuites': {name: testsuite.version
                            for name, testsuite in self.testsuites.items()},
         }
+        if self.phases:
+            # per-phase wall clock recorded under --profile
+            # (kvarq_tpu.profiling); absent otherwise for schema parity
+            info['phases'] = self.phases
+        return info
 
     @tictoc('encode')
     def encode(self, hits=False):

@@ -172,6 +172,12 @@ def cmd_scan(args):
                   minoverlap=args.overlap)
     if args.backend:
         engine.config(backend=args.backend)
+    if args.mesh:
+        if args.hits or args.extract_hits:
+            lo.error('--mesh scans accumulate coverage on device and '
+                     'cannot materialize a hit list; drop -H/-x')
+            sys.exit(ERROR_COMMAND_LINE_SWITCH)
+        engine.config(mesh=args.mesh)
 
     if not args.force:
         _refuse_overwrite(args.json)
@@ -184,8 +190,14 @@ def cmd_scan(args):
                   for size in fastq.filesizes())))
     started = time.time()
 
+    from kvarq_tpu.profiling import ScanProfiler
+    prof = ScanProfiler(args.profile)
+    if args.profile:
+        prof.start()
+
     analyser = analyse.Analyser()
-    stats = ScanSession(analyser, fastq, testsuites, args).run()
+    with prof.phase('scan'):
+        stats = ScanSession(analyser, fastq, testsuites, args).run()
 
     lo.info('performed scanning of %.2f%% (%smb/%smb, %d records) '
             'in %.3f seconds'
@@ -193,7 +205,12 @@ def cmd_scan(args):
                stats['total'] // 1024 ** 2, stats['records_parsed'],
                time.time() - started))
 
-    analyser.update_testsuites()
+    with prof.phase('analyse'):
+        analyser.update_testsuites()
+    if args.profile:
+        analyser.phases = prof.stop()
+        lo.info('phases: %s' % ' '.join(
+            '%s=%.3fs' % kv for kv in sorted(prof.phases.items())))
     _write_result(analyser.encode(hits=args.hits), args.json)
     if args.extract_hits:
         analyser.extract_hits(args.extract_hits)
@@ -408,6 +425,15 @@ _COMMANDS = [
         _arg('--backend', choices=['auto', 'numpy', 'xla', 'pallas'],
              help='engine compute backend (default: auto -- pallas on '
                   'TPU, xla elsewhere)'),
+        _arg('--mesh',
+             help='scan sharded over a multi-chip device mesh: "auto" '
+                  '(all devices, data-parallel) or "NDxNB" for an '
+                  'explicit (data, bank) shape, e.g. "4x2" (incompatible '
+                  'with -H/-x, which need the hit-list path)'),
+        _arg('--profile', metavar='DIR',
+             help='record per-phase wall times into the result json '
+                  '(info.phases) and write a JAX profiler device trace '
+                  'to DIR (view with TensorBoard)'),
         _arg('-f', '--force', action='store_true',
              help='overwrite any existing .json file'),
         _arg('-H', '--hits', action='store_true',

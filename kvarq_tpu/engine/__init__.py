@@ -59,6 +59,9 @@ _extra_config = {
     'backend': os.environ.get('KVARQ_BACKEND', 'auto'),
     'batchsize': int(os.environ.get('KVARQ_BATCHSIZE', '16384')),
     'sieve': os.environ.get('KVARQ_SIEVE', 'auto'),
+    # multi-chip scan: '' = single device, 'auto' = all devices,
+    # 'NDxNB' = explicit ('data', 'bank') mesh shape (kvarq_tpu.parallel)
+    'mesh': os.environ.get('KVARQ_MESH', ''),
 }
 
 _lock = threading.Lock()
@@ -75,7 +78,7 @@ def config(**kwargs):
     ''' update engine configuration; accepts the reference keys
         (maxerrors, minoverlap, minreadlength, nthreads, Amin, Azero --
         workhorse.c:1497-1507) plus kvarq_tpu extensions
-        (backend, batchsize, sieve) '''
+        (backend, batchsize, sieve, mesh) '''
     for key, value in kwargs.items():
         if key in ('Amin', 'Azero'):
             if not isinstance(value, str) or len(value) != 1:
@@ -167,6 +170,23 @@ def _auto_backend():
         except ImportError:
             return 'xla'
     return 'xla'
+
+
+def _make_scanner(seqs):
+    ''' tensorized-scan driver for countseqs: the single-device
+        TensorScanner, or a mesh-sharded ShardedScanner when the ``mesh``
+        config/env requests multi-chip (kvarq_tpu.parallel) '''
+    spec = str(_extra_config['mesh'] or '').strip().lower()
+    if spec in ('', 'off', '0', 'no', 'none'):
+        from kvarq_tpu.engine.tensor_scan import TensorScanner
+        return TensorScanner(seqs, _config['maxerrors'],
+                             _config['minoverlap'])
+    from kvarq_tpu.parallel import ShardedScanner, parse_mesh
+    mesh = parse_mesh(spec)
+    lo.info('scanning over a %s mesh (%d devices)'
+            % (dict(mesh.shape), mesh.size))
+    return ShardedScanner(seqs, _config['maxerrors'],
+                          _config['minoverlap'], mesh=mesh)
 
 
 def _make_sieve(seqs):
@@ -265,7 +285,6 @@ def countseqs(fname, seqs):
     global _running, _stop, _sigints, _stats, _nseqs, _seqhits, _seqbasehits
 
     from kvarq_tpu.fastq import FastqFileFormatException
-    from kvarq_tpu.engine.tensor_scan import TensorScanner
 
     with _lock:
         if _running:
@@ -282,8 +301,7 @@ def countseqs(fname, seqs):
         _seqbasehits = np.zeros(_nseqs, dtype=np.int64)
         _stats = reader.ReaderStats()
 
-        scanner = TensorScanner(seqs, _config['maxerrors'],
-                                _config['minoverlap']) if seqs else None
+        scanner = _make_scanner(seqs) if seqs else None
         sieve = _make_sieve(seqs) if seqs else None
         Amin = ord(_config['Amin'])
 

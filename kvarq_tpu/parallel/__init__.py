@@ -43,6 +43,20 @@ def make_mesh(n_data=None, n_bank=1, devices=None):
     return jax.sharding.Mesh(arr, ('data', 'bank'))
 
 
+def parse_mesh(spec):
+    ''' mesh from a CLI/env spec: ``auto`` = all devices on the data axis,
+        ``NDxNB`` = explicit ('data', 'bank') shape (e.g. ``4x2``) '''
+    spec = str(spec).strip().lower()
+    if spec == 'auto':
+        return make_mesh()
+    try:
+        n_data, _, n_bank = spec.partition('x')
+        return make_mesh(int(n_data), int(n_bank) if n_bank else 1)
+    except (TypeError, ValueError):
+        raise ValueError('mesh spec must be "auto" or "NDxNB" (e.g. 4x2), '
+                         'got %r' % spec)
+
+
 def split_templates(nseqs, n_bank):
     ''' contiguous template ranges [(lo, hi)...] per bank shard '''
     per = (nseqs + n_bank - 1) // n_bank
@@ -266,9 +280,18 @@ class ShardedScanner:
 
     def scan_batch(self, batch):
         import jax.numpy as jnp
+        from kvarq_tpu.engine.tensor_scan import TensorScanner
         B, Lpad = batch.codes.shape
         if not self.T:
             return
+        if (self.backend == 'pallas'
+                and Lpad < TensorScanner.MIN_LPAD_PALLAS):
+            # one compiled executable covers all short-read buckets
+            Lpad = TensorScanner.MIN_LPAD_PALLAS
+            codes = np.full((B, Lpad), encode.CODE_READ_JUNK,
+                            dtype=np.uint8)
+            codes[:, :batch.codes.shape[1]] = batch.codes
+            batch = type(batch)(codes, batch.rl, batch.filepos, batch.raw)
         bank, arrays, step, sub = self._context(Lpad)
 
         chunk = sub if sub else -(-B // self.n_data) * self.n_data
@@ -296,6 +319,10 @@ class ShardedScanner:
             self.seqhits += np.asarray(seqhits[:self.T], dtype=np.int64)
             self.seqbasehits += np.asarray(seqbasehits[:self.T],
                                            dtype=np.int64)
+
+    def finalize(self):
+        ''' interface parity with TensorScanner (which buffers fused
+            sub-batches); the sharded scanner dispatches eagerly '''
 
     def coverages(self):
         ''' list (per template, ``seqs`` order) of [5, S] base counts '''

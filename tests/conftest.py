@@ -35,5 +35,6 @@ def reset_engine_config():
     ''' every test starts from the engine's built-in defaults '''
     from kvarq_tpu import engine
     engine.config(maxerrors=0, minoverlap=20, minreadlength=10,
-                  nthreads=1, Amin='!', Azero='!')
+                  nthreads=1, Amin='!', Azero='!',
+                  mesh=os.environ.get('KVARQ_MESH', ''))
     yield

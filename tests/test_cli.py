@@ -222,3 +222,61 @@ def test_scan_update_summarize(tmp_path):
         assert jpath in out
     finally:
         lo.setLevel(logging.INFO)
+
+
+@needs_genome
+def test_scan_mesh(tmp_path):
+    ''' --mesh shards the scan over the virtual 8-device mesh and must
+        produce byte-identical analyses/coverages/stats to the
+        single-device scan (kvarq_tpu.parallel) '''
+    import json
+    lo.setLevel(logging.WARNING)
+    try:
+        jref = str(tmp_path / 'single.json')
+        main(['scan', '-l', 'MTBC/phylo', '-f', MTBC_fastq2, jref])
+        ref = json.load(open(jref))
+
+        for mesh in ('4x2', 'auto'):
+            jpath = str(tmp_path / ('mesh_%s.json' % mesh))
+            main(['scan', '-l', 'MTBC/phylo', '-f', '--mesh', mesh,
+                  MTBC_fastq2, jpath])
+            data = json.load(open(jpath))
+            assert data['analyses'] == ref['analyses'], mesh
+            assert data['coverages'] == ref['coverages'], mesh
+            assert data['stats']['nseqhits'] == ref['stats']['nseqhits']
+
+        # --mesh is incompatible with the hit-list flags
+        main(['scan', '-l', 'MTBC/phylo', '-f', '--mesh', 'auto', '-H',
+              MTBC_fastq2, str(tmp_path / 'x.json')],
+             err=kvarq_tpu.cli.ERROR_COMMAND_LINE_SWITCH)
+    finally:
+        from kvarq_tpu import engine
+        engine.config(mesh='')
+        lo.setLevel(logging.INFO)
+
+
+@needs_genome
+def test_scan_profile(tmp_path):
+    ''' --profile persists a per-phase wall-time breakdown into
+        info.phases (and, with a DIR, a JAX profiler trace); without the
+        flag the json schema is unchanged '''
+    import json
+    lo.setLevel(logging.WARNING)
+    try:
+        jpath = str(tmp_path / 'prof.json')
+        tdir = str(tmp_path / 'trace')
+        main(['scan', '-l', 'MTBC/phylo', '-f', '--profile', tdir,
+              MTBC_fastq2, jpath])
+        info = json.load(open(jpath))['info']
+        assert 'phases' in info
+        for phase in ('scan', 'analyse', 'total'):
+            assert phase in info['phases']
+            assert info['phases'][phase] >= 0
+        assert info['phases']['total'] >= info['phases']['scan']
+        assert os.path.isdir(tdir)   # trace directory was created
+
+        jplain = str(tmp_path / 'plain.json')
+        main(['scan', '-l', 'MTBC/phylo', '-f', MTBC_fastq2, jplain])
+        assert 'phases' not in json.load(open(jplain))['info']
+    finally:
+        lo.setLevel(logging.INFO)
