@@ -216,6 +216,107 @@ def cmd_scan(args):
         analyser.extract_hits(args.extract_hits)
 
 
+# --- batch (corpus) scan ------------------------------------------------------
+
+def cmd_batch(args):
+    ''' scan a whole corpus of FastQ files into ONE merged result json,
+        sharded over every host/chip available -- the first-class
+        replacement for the reference's shell-loop + ``summarize``
+        workflow (reference docs/tutorial.rst:366-374).  Run the SAME
+        command on every host of a multi-host slice (set
+        KVARQ_COORDINATOR / KVARQ_NUM_PROCESSES / KVARQ_PROCESS_ID for
+        manual process setups); each host streams its own file shard and
+        all hosts produce identical merged results. '''
+    testsuites = _selected_testsuites(args)
+    if not testsuites:
+        sys.stderr.write('\n*** you must specify at least one testsuite!'
+                         ' ***\n\n(use the -t command line switch)\n\n')
+        sys.exit(ERROR_COMMAND_LINE_SWITCH)
+
+    try:
+        # quality variant / Azero are inferred from the first file
+        fastq0 = Fastq(args.fastq[0], paired=False, variant=args.variant)
+    except FastqFileFormatException as e:
+        lo.error('cannot open file %s : %s' % (args.fastq[0], str(e)))
+        sys.exit(ERROR_FASTQ_FORMAT_ERROR)
+
+    engine.config(nthreads=args.threads,
+                  maxerrors=args.errors,
+                  Amin=fastq0.Q2A(args.quality),
+                  Azero=fastq0.Azero,
+                  minreadlength=args.readlength,
+                  minoverlap=args.overlap)
+    if not args.force:
+        _refuse_overwrite(args.json)
+
+    import os
+    import jax
+    from kvarq_tpu.engine import reader as engine_reader
+    from kvarq_tpu.engine.tensor_scan import fold_into_coverage
+    from kvarq_tpu.parallel import multihost
+
+    kwargs = {}
+    if os.environ.get('KVARQ_COORDINATOR'):
+        kwargs = dict(
+            coordinator_address=os.environ['KVARQ_COORDINATOR'],
+            num_processes=int(os.environ['KVARQ_NUM_PROCESSES']),
+            process_id=int(os.environ['KVARQ_PROCESS_ID']))
+    pid, nproc = multihost.initialize(**kwargs)
+    lo.info('batch scan: %d files over %d process(es) / %d device(s)'
+            % (len(args.fastq), nproc, len(jax.devices())))
+
+    analyser = analyse.Analyser()
+    analyser.spacing = args.spacing
+    analyser.testsuites = testsuites
+    analyser.coverages = analyser.load_coverages(testsuites,
+                                                 spacing=args.spacing)
+    analyser.config = engine.get_config()
+    seqs = [c.plus_seq.bases for c in analyser.coverages.values()]
+    do_reverse = not args.no_reverse
+    if do_reverse:
+        seqs += [c.minus_seq.bases for c in analyser.coverages.values()]
+
+    started = time.time()
+    stats = engine_reader.ReaderStats()
+    covs, seqhits, seqbasehits = multihost.scan_sharded(
+        list(args.fastq), seqs, maxerrors=args.errors,
+        minoverlap=args.overlap, minreadlength=args.readlength,
+        Amin=fastq0.Q2A(args.quality), nthreads=args.threads, stats=stats)
+    analyser.scantime = time.time() - started
+
+    n = len(analyser.coverages)
+    for i, coverage in enumerate(analyser.coverages.values()):
+        fold_into_coverage(coverage, covs[i],
+                           covs[n + i] if do_reverse else None)
+
+    longest = min(int(stats.rls_longest), engine_reader.MAX_READLENGTH - 1)
+    analyser.stats = {
+        'readlengths': tuple(int(x) for x in stats.rls[:longest + 1]),
+        'progress': 1.0,
+        'nseqbasehits': tuple(int(x) for x in seqbasehits),
+        'nseqhits': tuple(int(x) for x in seqhits),
+        'parsed': int(stats.parsed),
+        'total': int(stats.total),
+        'sigints': 0,
+        'records_parsed': int(stats.records_parsed),
+    }
+    analyser.fastq_filenames = list(args.fastq)
+    analyser.fastq_sizes = [os.path.getsize(f) if os.path.exists(f) else 0
+                            for f in args.fastq]
+    analyser.fastq_readlength = fastq0.readlength
+    analyser.fastq_records_approx = None
+
+    lo.info('scanned %d records (%d mb) in %.3f seconds'
+            % (analyser.stats['records_parsed'],
+               analyser.stats['parsed'] // 1024 ** 2, analyser.scantime))
+    analyser.update_testsuites()
+    if pid == 0:
+        _write_result(analyser.encode(), args.json)
+    else:
+        lo.info('process %d: results identical to process 0; not writing'
+                % pid)
+
+
 # --- other commands ---------------------------------------------------------
 
 def cmd_version(args):
@@ -444,6 +545,45 @@ _COMMANDS = [
         _arg('fastq', help='name of .fastq file to scan'),
         _arg('json', help='name of .json file to where results are '
                           'stored (or loaded, see -S)'),
+    ]),
+
+    ('batch', dict(
+        help='scan a corpus of .fastq files into ONE merged result .json, '
+             'sharded over all hosts and chips (kvarq_tpu extension: '
+             'first-class replacement for looping "kvarq scan" in a shell '
+             'and merging with "summarize")'),
+     cmd_batch, [
+        *_testsuite_selection_args(),
+        _arg('-t', '--threads', action='store', type=int,
+             default=default_config['threads'],
+             help='number of reader threads per host (default: %d)'
+                  % default_config['threads']),
+        _arg('-Q', '--quality', action='store', type=int,
+             default=default_config['quality'],
+             help='discard nucleotides with Q score inferior to this '
+                  'value (default=%d)' % default_config['quality']),
+        _arg('-e', '--errors', action='store', type=int,
+             default=default_config['errors'],
+             help='maximal number of errors allowed when comparing base '
+                  'sequences (default=%d)' % default_config['errors']),
+        _arg('-r', '--readlength', action='store', type=int,
+             default=default_config['minimum readlength'],
+             help='minimum read length (default=%d)'
+                  % default_config['minimum readlength']),
+        _arg('-o', '--overlap', action='store', type=int,
+             default=default_config['minimum overlap'],
+             help='minimum read overlap (default=%d)'
+                  % default_config['minimum overlap']),
+        _spacing_arg(),
+        _arg('-1', '--no-reverse', action='store_true',
+             help='do not scan for hits in reverse strand'),
+        _arg('--variant', choices=list(Fastq.vendor_variants.keys()),
+             help='specify .fastq variant manually (inferred from the '
+                  'first file otherwise)'),
+        _arg('-f', '--force', action='store_true',
+             help='overwrite any existing .json file'),
+        _arg('fastq', nargs='+', help='the .fastq file corpus to scan'),
+        _arg('json', help='name of the merged result .json file'),
     ]),
 
     ('update', dict(

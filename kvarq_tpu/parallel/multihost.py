@@ -71,8 +71,33 @@ def shard_files(fnames, process_id=None, num_processes=None):
     return mine
 
 
+def sample_max_readlen(fnames, n_records=4096):
+    ''' max bases-line length over the first ``n_records`` records of each
+        file -- a cheap per-host estimator for auto-sizing ``Lpad``
+        (quality-trimmed reads are never longer than their bases line).
+        Unreadable files contribute 0 (another host owns them). '''
+    import gzip
+    mx = 0
+    for fname in fnames:
+        op = gzip.open if fname.endswith('.gz') else open
+        try:
+            with op(fname, 'rb') as f:
+                for _ in range(n_records):
+                    if not f.readline():        # identifier
+                        break
+                    bases = f.readline()
+                    f.readline()                # separator
+                    f.readline()                # quality
+                    if not bases:
+                        break
+                    mx = max(mx, len(bases.rstrip(b'\r\n')))
+        except OSError:
+            pass
+    return mx
+
+
 def scan_sharded(fnames, seqs, maxerrors, minoverlap, minreadlength,
-                 Amin, mesh=None, nthreads=8, Lpad=128, b_local=2048,
+                 Amin, mesh=None, nthreads=8, Lpad=None, b_local=2048,
                  stats=None, backend=None):
     '''
     collective scan over all hosts/chips of ``mesh`` (default: all
@@ -83,9 +108,14 @@ def scan_sharded(fnames, seqs, maxerrors, minoverlap, minreadlength,
         :py:func:`kvarq_tpu.engine.tensor_scan.fold_into_coverage`).
 
     All read batches are padded to a fixed ``Lpad`` so every host
-    compiles and executes the identical program; reads longer than
-    ``Lpad`` raise (raise ``Lpad``, or fall back to per-host ``kvarq
-    scan`` + ``summarize`` for exotic read lengths).
+    compiles and executes the identical program.  ``Lpad=None`` (the
+    default) auto-sizes it: every host samples the head of its own file
+    shard (:py:func:`sample_max_readlen`), the observed maxima are
+    allgathered, and the global max rounds up to the reader's bucket
+    table -- so 150/250/300 bp corpora just work.  A read longer than
+    every sampled read can still exceed the chosen bucket, in which case
+    the scan raises with instructions to pass ``Lpad`` explicitly
+    (``KVARQ_MULTIHOST_LPAD`` overrides it without code changes).
     '''
     import os
     import jax
@@ -94,6 +124,19 @@ def scan_sharded(fnames, seqs, maxerrors, minoverlap, minreadlength,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     nproc = jax.process_count()
+    mine = shard_files(list(fnames)) if nproc > 1 else list(fnames)
+
+    if Lpad is None and os.environ.get('KVARQ_MULTIHOST_LPAD'):
+        Lpad = int(os.environ['KVARQ_MULTIHOST_LPAD'])
+    if Lpad is None:
+        local_max = sample_max_readlen(mine)
+        if nproc > 1:
+            maxima = multihost_utils.process_allgather(
+                np.asarray([local_max], dtype=np.int32))
+            local_max = int(np.asarray(maxima).max())
+        Lpad = reader._round_up(max(local_max, 128))
+        lo.info('multihost scan: auto Lpad=%d (sampled max read length %d)'
+                % (Lpad, local_max))
     mesh = mesh if mesh is not None else make_mesh()
     n_data = mesh.shape['data']
     n_bank = mesh.shape['bank']
@@ -138,7 +181,6 @@ def scan_sharded(fnames, seqs, maxerrors, minoverlap, minreadlength,
     acc_sh = np.zeros(T, dtype=np.int64)
     acc_sbh = np.zeros(T, dtype=np.int64)
 
-    mine = shard_files(list(fnames)) if nproc > 1 else list(fnames)
     stats = stats if stats is not None else reader.ReaderStats()
     from kvarq_tpu.engine.sieve import KmerSieve
     sieve = KmerSieve.build(seqs, maxerrors, minoverlap, minreadlength)
@@ -155,7 +197,10 @@ def scan_sharded(fnames, seqs, maxerrors, minoverlap, minreadlength,
         for batch in src:
             B, L = batch.codes.shape
             if L > Lpad:
-                raise ValueError('read length %d exceeds Lpad=%d' % (L, Lpad))
+                raise ValueError(
+                    'read length %d exceeds Lpad=%d (auto-sized from the '
+                    'first %d records per file); pass Lpad= explicitly or '
+                    'set KVARQ_MULTIHOST_LPAD' % (L, Lpad, 4096))
             lo_ = 0
             while lo_ < B:
                 n = min(B - lo_, B_host - fill)
@@ -195,6 +240,22 @@ def scan_sharded(fnames, seqs, maxerrors, minoverlap, minreadlength,
         acc_bc += np.asarray(bc, dtype=np.float64)
         acc_sh += np.asarray(sh[:T], dtype=np.int64)
         acc_sbh += np.asarray(sbh[:T], dtype=np.int64)
+
+    if nproc > 1:
+        # merge the host-local reader stats into corpus-global ones, so
+        # ``stats`` describes the whole scan on every host (results are
+        # global, the progress/histogram metadata should be too)
+        local = np.concatenate([
+            stats.rls.astype(np.int64),
+            np.asarray([stats.records_parsed, stats.parsed, stats.total,
+                        stats.rls_longest], dtype=np.int64)])
+        merged = np.asarray(
+            multihost_utils.process_allgather(local))
+        stats.rls = merged[:, :reader.MAX_READLENGTH].sum(axis=0)
+        stats.records_parsed = int(merged[:, -4].sum())
+        stats.parsed = int(merged[:, -3].sum())
+        stats.total = int(merged[:, -2].sum())
+        stats.rls_longest = int(merged[:, -1].max())
 
     # fold padded per-shard positions back onto per-template [5, S]
     per_template = [np.zeros((encode.NBASE, len(s)), dtype=np.float64)

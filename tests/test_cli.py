@@ -256,6 +256,43 @@ def test_scan_mesh(tmp_path):
 
 
 @needs_genome
+def test_batch(tmp_path):
+    ''' `kvarq batch` scans a corpus into one merged json; a single-file
+        batch must produce the same analyses/coverages as `kvarq scan`
+        of that file, and a two-file batch must count both files '''
+    import json
+    lo.setLevel(logging.WARNING)
+    try:
+        jref = str(tmp_path / 'single.json')
+        main(['scan', '-l', 'MTBC/phylo', '-f', '-P', MTBC_fastq2, jref])
+        ref = json.load(open(jref))
+
+        jbatch = str(tmp_path / 'batch1.json')
+        main(['batch', '-l', 'MTBC/phylo', '-f', MTBC_fastq2, jbatch])
+        data = json.load(open(jbatch))
+        assert data['analyses'] == ref['analyses']
+        assert data['coverages'] == ref['coverages']
+        assert data['stats']['nseqhits'] == ref['stats']['nseqhits']
+        assert data['stats']['records_parsed'] \
+            == ref['stats']['records_parsed']
+
+        # a corpus merges: scanning the file twice doubles every count
+        jboth = str(tmp_path / 'batch2.json')
+        main(['batch', '-l', 'MTBC/phylo', '-f',
+              MTBC_fastq2, MTBC_fastq2, jboth])
+        both = json.load(open(jboth))
+        assert both['stats']['records_parsed'] \
+            == 2 * ref['stats']['records_parsed']
+        assert both['stats']['nseqhits'] \
+            == [2 * n for n in ref['stats']['nseqhits']]
+        # refuses to overwrite without -f
+        main(['batch', '-l', 'MTBC/phylo', MTBC_fastq2, jbatch],
+             err=kvarq_tpu.cli.ERROR_FILE_EXISTS)
+    finally:
+        lo.setLevel(logging.INFO)
+
+
+@needs_genome
 def test_scan_profile(tmp_path):
     ''' --profile persists a per-phase wall-time breakdown into
         info.phases (and, with a DIR, a JAX profiler trace); without the
