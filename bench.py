@@ -181,9 +181,29 @@ def main():
                     if not line:
                         break
                     g.write(line)
+
+        # cold/warm visibility: a fresh environment starts with only the
+        # shipped precompiled entries (kvarq_tpu/_precompiled, copied in
+        # by ensure_compilation_cache); this reports what the first-ever
+        # scan actually paid and from where
+        from kvarq_tpu.jaxutil import ensure_compilation_cache
+        ensure_compilation_cache()
+        n_cached = 0
+        try:
+            import jax
+            cache_dir = jax.config.jax_compilation_cache_dir
+            n_cached = len([f for f in os.listdir(cache_dir)
+                            if f.endswith('-cache')]) if cache_dir else 0
+        except Exception:
+            pass
         t0 = time.time()
         warm = engine.countseqs(wpath, seqs)
-        print('warmup (incl. compile): %.1fs' % (time.time() - t0),
+        print('cold-start warmup (incl. compile; persistent cache held '
+              '%d entries): %.1fs' % (n_cached, time.time() - t0),
+              file=sys.stderr)
+        t0 = time.time()
+        engine.countseqs(wpath, seqs)
+        print('warm re-scan of the same prefix: %.1fs' % (time.time() - t0),
               file=sys.stderr)
         # bit-exactness gate: the device path must reproduce the numpy
         # oracle exactly on the warmup prefix -- a miscounting kernel

@@ -24,11 +24,16 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <map>
 #include <mutex>
+#include <set>
 #include <string>
 #include <thread>
 #include <vector>
+
+#include <fcntl.h>
+#include <unistd.h>
 
 #include <zlib.h>
 #ifdef KVARQ_USE_LIBDEFLATE
@@ -59,7 +64,7 @@ struct Stream {
     std::vector<uint8_t> zin;   // compressed input buffer
     size_t zin_pos = 0, zin_len = 0;
     int64_t fsize = 0;          // on-disk size
-    int64_t compressed_read = 0;
+    volatile int64_t compressed_read = 0;  // single writer at any time
     int64_t produced = 0;       // decompressed bytes yielded
     // background whole-file libdeflate decode (small gz files): once
     // ready, decompressed bytes are served from `bg->dec` instead of
@@ -67,6 +72,9 @@ struct Stream {
     struct BgDecode* bg = nullptr;
     bool bg_serving = false;
     int64_t known_total = -1;   // exact decompressed size once known
+    // big-file pipelined decode paths (see open_stream)
+    struct RingDecode* ring = nullptr;    // dedicated zlib decode thread
+    struct BgzfDecode* bgzf = nullptr;    // parallel per-block libdeflate
 };
 
 // background decode of a whole (small) gz file with libdeflate (~3x
@@ -79,6 +87,163 @@ struct BgDecode {
     std::atomic<int> state{1};
     std::vector<uint8_t> dec;
 };
+
+// pipelined streaming decode for big plain-gzip files: a dedicated thread
+// runs the zlib inflate loop (multi-stream restart, trailing-garbage
+// semantics identical to the inline path) into a bounded chunk queue, so
+// decompression overlaps with record parsing/sieving instead of running
+// under the shared stream mutex.  Memory stays flat (MAX_BYTES window).
+struct RingDecode {
+    std::thread thr;
+    std::mutex m;
+    std::condition_variable cv_data, cv_space;
+    std::deque<std::vector<uint8_t>> q;
+    size_t qbytes = 0;
+    size_t front_off = 0;        // consumed bytes of q.front()
+    bool done = false;
+    bool failed = false;
+    bool abandon = false;
+    std::string error;
+    static constexpr size_t MAX_BYTES = 32u << 20;
+};
+
+// BGZF (bgzip) files -- the block-compressed gzip dialect ubiquitous in
+// bioinformatics -- are a sequence of independent <=64 KB gzip members
+// whose compressed size is recorded in a BC extra subfield, so blocks
+// can be enumerated by seeking (no inflate) and decompressed in PARALLEL
+// with libdeflate across worker threads.  Delivery is in file order with
+// a bounded in-flight window; the exact decompressed size (sum of block
+// ISIZEs) is known at open time, making progress reporting exact.
+struct BgzfBlock { int64_t coff; int32_t csize; int32_t isize; };
+struct BgzfDecode {
+    std::vector<BgzfBlock> blocks;
+    std::vector<std::thread> thrs;
+    std::atomic<size_t> next{0};
+    std::mutex m;
+    std::condition_variable cv_data, cv_space;
+    std::map<size_t, std::vector<uint8_t>> ready;
+    std::set<size_t> bad;        // blocks whose decode failed
+    size_t consume = 0;          // next block index the consumer needs
+    size_t front_off = 0;        // consumed bytes of ready[consume]
+    bool abandon = false;
+    std::string error;           // guarded by m
+    std::string fname;
+    int fd = -1;
+    static constexpr size_t WINDOW = 64;   // blocks in flight (<= 4 MB)
+};
+
+// parse one BGZF member header at `off` (via pread) and extract the
+// total block size from the BC extra subfield; returns false when the
+// bytes there are not a BGZF block
+bool bgzf_block_at(int fd, int64_t fsize, int64_t off, int32_t* csize,
+                   int32_t* isize) {
+    uint8_t hdr[12];
+    if (off + 28 > fsize) return false;   // minimal BGZF block is 28 bytes
+    if (pread(fd, hdr, 12, off) != 12) return false;
+    if (hdr[0] != 0x1f || hdr[1] != 0x8b || hdr[2] != 8) return false;
+    if (!(hdr[3] & 4)) return false;      // FEXTRA required
+    int xlen = hdr[10] | (hdr[11] << 8);
+    if (xlen < 6 || xlen > 4096) return false;
+    uint8_t extra[4096];
+    if (pread(fd, extra, xlen, off + 12) != xlen) return false;
+    int bsize = -1;
+    for (int p = 0; p + 4 <= xlen; ) {
+        int slen = extra[p + 2] | (extra[p + 3] << 8);
+        if (extra[p] == 'B' && extra[p + 1] == 'C' && slen == 2
+            && p + 6 <= xlen) {
+            bsize = extra[p + 4] | (extra[p + 5] << 8);
+            break;
+        }
+        p += 4 + slen;
+    }
+    if (bsize < 0) return false;
+    *csize = bsize + 1;
+    if (off + *csize > fsize || *csize < 28) return false;
+    uint8_t tail[4];
+    if (pread(fd, tail, 4, off + *csize - 4) != 4) return false;
+    uint32_t is = (uint32_t)tail[0] | ((uint32_t)tail[1] << 8)
+                | ((uint32_t)tail[2] << 16) | ((uint32_t)tail[3] << 24);
+    if (is > 65536) return false;         // BGZF spec bound
+    *isize = (int32_t)is;
+    return true;
+}
+
+// enumerate every block of a candidate BGZF file; returns false (leaving
+// `blocks` unusable) unless the WHOLE file parses as BGZF members, so a
+// failed probe cleanly falls back to the generic zlib paths
+bool bgzf_probe(const std::string& fname, int64_t fsize,
+                std::vector<BgzfBlock>* blocks, int64_t* total) {
+    int fd = ::open(fname.c_str(), O_RDONLY);
+    if (fd < 0) return false;
+    int64_t off = 0;
+    *total = 0;
+    bool ok = true;
+    while (off < fsize) {
+        int32_t csize = 0, isize = 0;
+        if (!bgzf_block_at(fd, fsize, off, &csize, &isize)) {
+            ok = false;
+            break;
+        }
+        blocks->push_back(BgzfBlock{off, csize, isize});
+        *total += isize;
+        off += csize;
+    }
+    ::close(fd);
+    if (!ok || blocks->empty()) {
+        blocks->clear();
+        return false;
+    }
+    return true;
+}
+
+#ifdef KVARQ_USE_LIBDEFLATE
+// BGZF decode worker: claim block indices, pread + libdeflate-decompress
+// each member, publish in the ordered map (bounded in-flight window)
+void bgzf_worker_main(BgzfDecode* bz) {
+    libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    if (!d) return;
+    for (;;) {
+        size_t i = bz->next.fetch_add(1);
+        if (i >= bz->blocks.size()) break;
+        {   // bound how far workers run ahead of the consumer
+            std::unique_lock<std::mutex> l(bz->m);
+            bz->cv_space.wait(l, [&] {
+                return bz->abandon || i < bz->consume + BgzfDecode::WINDOW;
+            });
+            if (bz->abandon) break;
+        }
+        const BgzfBlock& blk = bz->blocks[i];
+        std::vector<uint8_t> cbuf((size_t)blk.csize);
+        std::vector<uint8_t> dec((size_t)blk.isize);
+        bool ok = pread(bz->fd, cbuf.data(), cbuf.size(), blk.coff)
+                  == (ssize_t)cbuf.size();
+        if (ok && blk.isize > 0) {
+            size_t out = 0;
+            ok = libdeflate_gzip_decompress(
+                     d, cbuf.data(), cbuf.size(), dec.data(), dec.size(),
+                     &out) == LIBDEFLATE_SUCCESS
+                 && out == (size_t)blk.isize;
+        }
+        {
+            std::lock_guard<std::mutex> l(bz->m);
+            if (!ok) {
+                bz->bad.insert(i);
+                if (bz->error.empty()) {
+                    char msg[160];
+                    std::snprintf(msg, sizeof(msg),
+                                  "error inflating '%s': bad bgzf block "
+                                  "at offset %lld", bz->fname.c_str(),
+                                  (long long)blk.coff);
+                    bz->error = msg;
+                }
+            }
+            bz->ready[i] = std::move(dec);
+        }
+        bz->cv_data.notify_all();
+    }
+    libdeflate_free_decompressor(d);
+}
+#endif
 
 // one record-aligned span of decompressed data plus its processed outputs
 struct CandRec { int32_t rl; int64_t filepos; size_t raw_off; };
@@ -176,7 +341,81 @@ void update_total(Reader* r) {
 void bg_decode_main(BgDecode* bg, std::string fname, int64_t fsize);
 #endif
 
-bool open_stream(Stream& s, std::string* err) {
+// body of the RingDecode producer thread: the same zlib streaming loop
+// as the inline path (multi-stream restart, trailing-garbage and error
+// semantics identical) pushing 1 MB chunks into the bounded queue.  Owns
+// s.f / s.zs / s.zin exclusively once started.
+void ring_zlib_main(Stream* s) {
+    RingDecode* rd = s->ring;
+    for (;;) {
+        std::vector<uint8_t> out(1u << 20);
+        size_t got = 0;
+        std::string err;
+        bool at_end = false;
+        while (got < out.size()) {
+            if (s->zin_pos == s->zin_len) {
+                s->zin_len = std::fread(s->zin.data(), 1, s->zin.size(),
+                                        s->f);
+                s->zin_pos = 0;
+                s->compressed_read += (int64_t)s->zin_len;
+                if (s->zin_len == 0) { at_end = true; break; }
+            }
+            s->zs.next_in = s->zin.data() + s->zin_pos;
+            s->zs.avail_in = (uInt)(s->zin_len - s->zin_pos);
+            s->zs.next_out = out.data() + got;
+            s->zs.avail_out = (uInt)(out.size() - got);
+            int ret = inflate(&s->zs, Z_NO_FLUSH);
+            s->zin_pos = s->zin_len - s->zs.avail_in;
+            got = out.size() - s->zs.avail_out;
+            if (ret == Z_STREAM_END) {
+                // multi-stream gz: restart inflate mid-file
+                // (workhorse.c:841-866)
+                if (inflateReset(&s->zs) != Z_OK) {
+                    err = "inflateReset failed in '" + s->fname + "'";
+                    break;
+                }
+                if (s->zin_pos == s->zin_len && std::feof(s->f)) {
+                    at_end = true;
+                    break;
+                }
+                continue;
+            }
+            if (ret != Z_OK && ret != Z_BUF_ERROR) {
+                err = "error inflating '" + s->fname + "': " +
+                      (s->zs.msg ? s->zs.msg : zError(ret));
+                break;
+            }
+            if (ret == Z_BUF_ERROR && s->zin_pos == s->zin_len &&
+                std::feof(s->f)) {
+                at_end = true;
+                break;
+            }
+        }
+        out.resize(got);
+        std::unique_lock<std::mutex> l(rd->m);
+        rd->cv_space.wait(l, [&] {
+            return rd->abandon || rd->qbytes < RingDecode::MAX_BYTES;
+        });
+        if (rd->abandon) return;
+        if (got) {
+            rd->qbytes += out.size();
+            rd->q.push_back(std::move(out));
+        }
+        if (!err.empty()) {
+            rd->failed = true;
+            rd->error = err;
+            rd->done = true;
+        } else if (at_end) {
+            rd->done = true;
+        }
+        bool finished = rd->done;
+        l.unlock();
+        rd->cv_data.notify_all();
+        if (finished) return;
+    }
+}
+
+bool open_stream(Stream& s, std::string* err, int nthreads) {
     s.f = std::fopen(s.fname.c_str(), "rb");
     if (!s.f) {
         *err = "cannot open '" + s.fname + "'";
@@ -198,17 +437,79 @@ bool open_stream(Stream& s, std::string* err) {
         s.zin.resize(1u << 20);
 #ifdef KVARQ_USE_LIBDEFLATE
         const char* e = std::getenv("KVARQ_LIBDEFLATE");
-        if (s.fsize > 0 && s.fsize <= (int64_t)64 * 1024 * 1024 &&
-            !(e && e[0] == '0')) {
+        bool ld_ok = !(e && e[0] == '0');
+        if (ld_ok) {
+            // BGZF fast path: any size, parallel per-block decode, exact
+            // decompressed size known before the first byte is served
+            std::vector<BgzfBlock> blocks;
+            int64_t total = 0;
+            if (bgzf_probe(s.fname, s.fsize, &blocks, &total)) {
+                int fd = ::open(s.fname.c_str(), O_RDONLY);
+                if (fd >= 0) {
+                    s.bgzf = new BgzfDecode();
+                    s.bgzf->blocks = std::move(blocks);
+                    s.bgzf->fname = s.fname;
+                    s.bgzf->fd = fd;
+                    s.known_total = total;
+                    int nthr = nthreads < 1 ? 1 : nthreads;
+                    if (nthr > 8) nthr = 8;
+                    const char* bt = std::getenv("KVARQ_BGZF_THREADS");
+                    if (bt && bt[0]) nthr = std::atoi(bt);
+                    for (int i = 0; i < nthr; i++)
+                        s.bgzf->thrs.emplace_back(bgzf_worker_main, s.bgzf);
+                    return true;
+                }
+            }
+        }
+        // whole-file background decode for small plain-gz files: ~3x
+        // zlib; the streaming ring serves bytes until it is ready
+        int64_t bgcap = (int64_t)64 * 1024 * 1024;
+        const char* bc = std::getenv("KVARQ_GZ_BGCAP");
+        if (bc && bc[0]) bgcap = std::atoll(bc);
+        if (ld_ok && s.fsize > 0 && s.fsize <= bgcap) {
             s.bg = new BgDecode();
             s.bg->thr = std::thread(bg_decode_main, s.bg, s.fname, s.fsize);
         }
+#else
+        (void)nthreads;
 #endif
+        // generic gzip: pipelined streaming decode on a dedicated thread
+        // (bounded queue, flat memory, any file size) -- replaces the old
+        // inline inflate that ran under the shared stream mutex
+        s.ring = new RingDecode();
+        s.ring->thr = std::thread(ring_zlib_main, &s);
     }
     return true;
 }
 
+void abandon_ring(Stream& s) {
+    if (!s.ring) return;
+    {
+        std::lock_guard<std::mutex> l(s.ring->m);
+        s.ring->abandon = true;
+    }
+    s.ring->cv_space.notify_all();
+    s.ring->cv_data.notify_all();
+    if (s.ring->thr.joinable()) s.ring->thr.join();
+    delete s.ring;
+    s.ring = nullptr;
+}
+
 void close_stream(Stream& s) {
+    abandon_ring(s);
+    if (s.bgzf) {
+        {
+            std::lock_guard<std::mutex> l(s.bgzf->m);
+            s.bgzf->abandon = true;
+        }
+        s.bgzf->cv_space.notify_all();
+        s.bgzf->cv_data.notify_all();
+        for (auto& t : s.bgzf->thrs)
+            if (t.joinable()) t.join();
+        if (s.bgzf->fd >= 0) ::close(s.bgzf->fd);
+        delete s.bgzf;
+        s.bgzf = nullptr;
+    }
     if (s.bg) {
         if (s.bg->thr.joinable()) s.bg->thr.join();
         delete s.bg;
@@ -219,6 +520,76 @@ void close_stream(Stream& s) {
     if (s.f) { std::fclose(s.f); s.f = nullptr; }
 }
 
+// consume from the RingDecode chunk queue; blocks for data, serves any
+// buffered bytes before surfacing a decode error (the error then returns
+// -1 on the next call, with the exact inline-path message)
+long ring_read(Stream& s, uint8_t* out, size_t want, std::string* err) {
+    RingDecode* rd = s.ring;
+    size_t got = 0;
+    std::unique_lock<std::mutex> l(rd->m);
+    while (got < want) {
+        if (!rd->q.empty()) {
+            std::vector<uint8_t>& front = rd->q.front();
+            size_t n = front.size() - rd->front_off;
+            if (n > want - got) n = want - got;
+            std::memcpy(out + got, front.data() + rd->front_off, n);
+            got += n;
+            rd->front_off += n;
+            if (rd->front_off == front.size()) {
+                rd->qbytes -= front.size();
+                rd->q.pop_front();
+                rd->front_off = 0;
+                rd->cv_space.notify_all();
+            }
+            continue;
+        }
+        if (rd->done) break;
+        rd->cv_data.wait(l);
+    }
+    if (got == 0 && rd->failed) {
+        *err = rd->error;
+        return -1;
+    }
+    s.produced += (int64_t)got;
+    return (long)got;
+}
+
+#ifdef KVARQ_USE_LIBDEFLATE
+// consume BGZF blocks in file order from the parallel decode pool
+long bgzf_read(Stream& s, uint8_t* out, size_t want, std::string* err) {
+    BgzfDecode* bz = s.bgzf;
+    size_t got = 0;
+    std::unique_lock<std::mutex> l(bz->m);
+    while (got < want && bz->consume < bz->blocks.size()) {
+        auto f = bz->ready.find(bz->consume);
+        if (f == bz->ready.end()) {
+            bz->cv_data.wait(l);
+            continue;
+        }
+        if (bz->bad.count(bz->consume)) {
+            if (got) break;          // serve buffered bytes; error next call
+            *err = bz->error;
+            return -1;
+        }
+        std::vector<uint8_t>& blk = f->second;
+        size_t n = blk.size() - bz->front_off;
+        if (n > want - got) n = want - got;
+        std::memcpy(out + got, blk.data() + bz->front_off, n);
+        got += n;
+        bz->front_off += n;
+        if (bz->front_off == blk.size()) {
+            bz->ready.erase(f);
+            bz->front_off = 0;
+            bz->consume++;
+            bz->cv_space.notify_all();
+        }
+    }
+    s.produced += (int64_t)got;
+    s.compressed_read = s.fsize;   // exact size is known; est is exact
+    return (long)got;
+}
+#endif
+
 // read up to `want` decompressed bytes from stream; 0 = stream EOF, -1 = error
 long stream_read(Stream& s, uint8_t* out, size_t want, std::string* err) {
     if (!s.is_gz) {
@@ -228,13 +599,15 @@ long stream_read(Stream& s, uint8_t* out, size_t want, std::string* err) {
         return (long)n;
     }
 #ifdef KVARQ_USE_LIBDEFLATE
+    if (s.bgzf) return bgzf_read(s, out, want, err);
     if (s.bg && !s.bg_serving &&
         s.bg->state.load(std::memory_order_acquire) == 2) {
         // background decode finished: serve the rest from its buffer
-        // (picking up exactly where the zlib stream left off -- both
+        // (picking up exactly where the ring stream left off -- both
         // decode the same file, so the bytes are identical)
         s.bg_serving = true;
         s.known_total = (int64_t)s.bg->dec.size();
+        abandon_ring(s);
         s.compressed_read = s.fsize;
     }
     if (s.bg_serving) {
@@ -247,43 +620,7 @@ long stream_read(Stream& s, uint8_t* out, size_t want, std::string* err) {
         return (long)n;
     }
 #endif
-    size_t got = 0;
-    while (got < want) {
-        if (s.zin_pos == s.zin_len) {
-            s.zin_len = std::fread(s.zin.data(), 1, s.zin.size(), s.f);
-            s.zin_pos = 0;
-            s.compressed_read += (long)s.zin_len;
-            if (s.zin_len == 0) break;  // compressed EOF
-        }
-        s.zs.next_in = s.zin.data() + s.zin_pos;
-        s.zs.avail_in = (uInt)(s.zin_len - s.zin_pos);
-        s.zs.next_out = out + got;
-        s.zs.avail_out = (uInt)(want - got);
-        int ret = inflate(&s.zs, Z_NO_FLUSH);
-        s.zin_pos = s.zin_len - s.zs.avail_in;
-        got = (want - s.zs.avail_out);
-        if (ret == Z_STREAM_END) {
-            // multi-stream gz: restart inflate mid-file
-            // (workhorse.c:841-866)
-            if (inflateReset(&s.zs) != Z_OK) {
-                *err = "inflateReset failed in '" + s.fname + "'";
-                return -1;
-            }
-            // trailing garbage after the last stream ends the file
-            if (s.zin_pos == s.zin_len && std::feof(s.f)) break;
-            continue;
-        }
-        if (ret != Z_OK && ret != Z_BUF_ERROR) {
-            *err = "error inflating '" + s.fname + "': " +
-                   (s.zs.msg ? s.zs.msg : zError(ret));
-            return -1;
-        }
-        if (ret == Z_BUF_ERROR && s.zin_pos == s.zin_len &&
-            std::feof(s.f))
-            break;
-    }
-    s.produced += (long)got;
-    return (long)got;
+    return ring_read(s, out, want, err);
 }
 
 // ---- accelerated gz decode ----------------------------------------------
@@ -368,7 +705,7 @@ long fill_buf(Reader* r) {
     }
     while (r->cur_stream < r->streams.size()) {
         Stream& s = r->streams[r->cur_stream];
-        if (!s.f && !open_stream(s, &r->error)) return -1;
+        if (!s.f && !open_stream(s, &r->error, r->nthreads)) return -1;
         size_t old = r->buf.size();
         r->buf.resize(old + CHUNKSIZE);
         long n = stream_read(s, r->buf.data() + old, CHUNKSIZE, &r->error);

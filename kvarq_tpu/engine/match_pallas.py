@@ -1,12 +1,12 @@
 '''
 Pallas-accelerated hit-list matcher: the fused TPU kernel
-(kvarq_tpu.engine.pallas_scan) scores every read's total hit weight in
-one pass; only the (sparse) hitting reads are then run through the XLA
-triplet-extraction step.  Produces exactly the XlaMatcher's output --
-the kernel's mode weights and the XLA passing mask implement the same
+(kvarq_tpu.engine.pallas_scan) flags candidate reads (a sound, tight
+superset of the hitting reads) in one pass; only those are then run
+through the XLA triplet-extraction step, which applies the exact hit
 predicate (kvarq_tpu.engine.hitmodel; reference workhorse.c:1107-1174)
--- at a fraction of the cost when hits are rare, which they are in
-genome-scale FastQs (a few kbp of targets vs. megabases of reads).
+-- so the output equals the XlaMatcher's exactly, at a fraction of the
+cost when hits are rare, which they are in genome-scale FastQs (a few
+kbp of targets vs. megabases of reads).
 
 Used by ``findseqs`` (the ``-H``/``--extract-hits`` path); the coverage
 path (``countseqs``) uses the kernel directly.
@@ -48,7 +48,7 @@ class PallasMatcher:
             B = self.sub
             Qp = arrays['qmeta'].shape[1]
             nch = pallas_scan.bank_channels(bank.codes)
-            kcall = pallas_scan.match_stats_call(
+            kcall = pallas_scan.match_cand_call(
                 Lpad, Qp, B, self.maxerrors, self.minoverlap,
                 TB=self.TB, TQ=self.TQ,
                 interpret=(self.platform == 'cpu'), nch=nch)
@@ -58,7 +58,7 @@ class PallasMatcher:
                 read_flat = read_oh.reshape(B, -1)
                 rl2d = jnp.broadcast_to(
                     rl.astype(jnp.int32)[:, None], (B, 128))
-                _, hitpart = kcall(read_flat, rl2d, K, qmeta)
+                hitpart = kcall(read_flat, rl2d, K, qmeta)
                 return jnp.sum(hitpart, axis=0) > 0          # [B]
 
             self._ctx[Lpad] = (bank, arrays, jax.jit(hit_flags), B)

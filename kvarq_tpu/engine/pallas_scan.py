@@ -1,37 +1,57 @@
 '''
-Pallas TPU kernel for the exhaustive scan: fused match + mode gating +
-statistics reduction in VMEM.
+Pallas TPU kernel for the exhaustive scan: fused match + candidate
+detection in VMEM, with exact statistics/coverage computed over the
+(sparse) candidate reads outside the kernel.
 
 The XLA formulation (kvarq_tpu.engine.tensor_scan) materializes the
 ``[B, Q]`` match-count tensor in HBM and streams it through half a dozen
 elementwise consumers -- at genome-scale Q that traffic costs ~8x the
 matmul itself.  This kernel computes a ``[TB, TQ]`` match tile on the MXU
-and immediately gates + reduces it on the VPU without leaving VMEM:
+and immediately screens it on the VPU without leaving VMEM.
 
-- per-column partials ``w_q``/``wov_q`` (hit counts / overlap-base sums
-  per bank shift column) accumulate across the read-block grid axis;
-- per-read hit totals are emitted as ``[8*nQ, B]`` partials (each grid
-  step owns one block -- no non-consecutive output revisits) and reduced
-  by XLA.
+**Design: the kernel is a candidate detector, not a scorer.**  Round-2
+profiling showed the full in-kernel mode gating (~22 VPU ops/element)
+costing ~3x the MXU contraction (42.6 vs 136 TFLOP/s, BASELINE.md) -- on
+a VPU, per-element gating rivals a 512-MAC matmul column.  But exact
+per-mode weights are only needed for reads that can hit at all, and those
+are rare (a few kbp of targets vs megabases of reads).  So the kernel
+now evaluates one sound, tight candidate predicate per element
+
+    cand = (ov - matches <= maxerrors)  &  (ov >= tau)
+
+with ``ov = min(rl + dm, ovc)`` (2 ops from precomputed per-column
+``dm = min(d, 0)``, ``ovc = seql - max(0, d)``) and the threshold
+``tau = min(minoverlap, rl, seql)``.  Soundness: any reference hit mode
+requires either overlap >= minoverlap (modes A/B) or full containment
+``ov == min(rl, seql)`` (modes C/D, which have *no* minoverlap bound);
+since ``ov <= min(rl, seql)`` always, both cases are exactly
+``ov >= min(minoverlap, rl, seql)``.  Padded rows get an infinite row
+threshold (rl == 0), padded/gap columns an ``ovc`` of -2^20, so neither
+can ever flag.  ~8 VPU ops/element, emitted as per-read flag-count
+partials ``[8*nQ, B]``.
+
+The flagged reads (true hits plus a vanishing number of near-miss false
+positives -- a random 25-mer overlap passes only with >= 23/25 identity)
+are then compacted by :py:func:`scan_step_banked` and re-scored *exactly*
+with the shared :py:func:`kvarq_tpu.engine.tensor_scan.mode_weights` on a
+small ``[gather_k, Q]`` recompute, which yields the per-template
+seqhits/seqbasehits statistics AND the coverage contraction in one place
+(a ``lax.cond`` falls back to the all-reads contraction when more than
+``gather_k`` reads flag, e.g. on hit-dense test fixtures).  Output is
+bit-identical to the XLA and numpy matchers (exact integer counts);
+tests/test_pallas_scan.py asserts it.
 
 Reads and bank are matched as **bf16 one-hot on the MXU** -- match
 counts are small integers (<= Lpad), exact in f32 accumulation, and cast
-losslessly to int32 for the all-integer mode gating on the VPU.  (An
+losslessly to int32 for the all-integer screen on the VPU.  (An
 int8/int32 formulation was measured ~1.8x *slower*: Mosaic does not
 lower int8 dots to the v5e MXU's int8 mode.)  When the bank contains no
 ``N`` the one-hot narrows to 4 channels: a read ``N`` then one-hots to
 the zero vector and mismatches everywhere, which is exact since nothing
 in the bank could match it -- a 20% FLOP cut on N-free banks (the norm).
 
-Coverage accumulation (the second MXU contraction) is NOT in the kernel:
-hits are sparse in real FastQs, so :py:func:`scan_step_banked` compacts
-the hitting reads (using the per-read totals) and runs the small
-``[k, Q]`` recompute + scatter as plain XLA matmuls (5-channel there --
-coverage must count read ``N`` bases).
-
 Replicates the reference hot loop semantics (workhorse.c:1107-1174) via
-the shared mode-weight formulas in kvarq_tpu.engine.tensor_scan; output is
-bit-identical to the XLA and numpy matchers (exact integer counts).
+the shared mode-weight formulas in kvarq_tpu.engine.tensor_scan.
 '''
 
 import functools
@@ -40,16 +60,17 @@ import numpy as np
 
 from kvarq_tpu.engine import encode
 
-# q-metadata row indices in the packed [8, Qp] int32 array.  Rows 3-6
-# are kernel-side precomputations: MXD = max(0, d) (set to a huge value
-# on invalid/padded columns so their overlap length goes very negative
-# and every mode fails arithmetically), SD = seql - d (so the mode-B
-# border test t1 >= seql becomes the outer compare rl >= SD), CA/CB =
-# the per-column parts of the mode-A/B gates
-# (valid & seql > minoverlap & d <0 / >0).
+# q-metadata row indices in the packed [8, Qp] int32 array.  Rows 0-2
+# feed the exact mode_weights recompute outside the kernel; rows 3-4 are
+# the kernel-side candidate-screen precomputations:
+# DM = min(d, 0) (the read-side offset of the overlap window) and
+# OVC = seql - max(0, d) (the column part of the overlap length), set to
+# -2^20 on invalid/padded columns so the overlap goes so negative that
+# the screen can never pass there.
 ROW_D, ROW_SEQL, ROW_VALID = 0, 1, 2
-ROW_MXD, ROW_SD, ROW_CA, ROW_CB = 3, 4, 5, 6
-INVALID_MXD = 1 << 20
+ROW_DM, ROW_OVC = 3, 4
+INVALID_OVC = -(1 << 20)
+BIG_RL_THRESHOLD = 1 << 20
 
 # tuned on v5e (see tools/tune log in git history): throughput is mostly
 # set by the per-call batch size; tiles matter little beyond alignment
@@ -74,7 +95,6 @@ def pack_qmeta(bank, TQ=DEF_TQ, Qp=None):
     ''' pack per-shift-column metadata into one sublane-aligned [8, Qp]
         int32 array (rows: see the ROW_* constants) '''
     Q = bank.Q
-    mo = bank.minoverlap if bank.minoverlap is not None else 0
     if Qp is None:
         Qp = max(_ceil_to(Q, TQ), TQ)
     qmeta = np.zeros((8, Qp), dtype=np.int32)
@@ -84,15 +104,10 @@ def pack_qmeta(bank, TQ=DEF_TQ, Qp=None):
     valid = np.zeros(Qp, dtype=bool)
     valid[:Q] = bank.tid >= 0
     qmeta[ROW_VALID] = valid
-    # kernel-side precomputations: on invalid columns MXD is huge, which
-    # drives the overlap length far negative so no mode can fire there
-    # (the in-kernel gating then needs no explicit `valid` term)
-    qmeta[ROW_MXD] = np.where(valid, np.maximum(0, qmeta[ROW_D]),
-                              INVALID_MXD)
-    qmeta[ROW_SD] = qmeta[ROW_SEQL] - qmeta[ROW_D]
-    ab_col = valid & (qmeta[ROW_SEQL] > mo)
-    qmeta[ROW_CA] = ab_col & (qmeta[ROW_D] < 0)
-    qmeta[ROW_CB] = ab_col & (qmeta[ROW_D] > 0)
+    # kernel-side candidate-screen precomputations (see module docstring)
+    qmeta[ROW_DM] = np.where(valid, np.minimum(0, qmeta[ROW_D]), 0)
+    qmeta[ROW_OVC] = np.where(
+        valid, qmeta[ROW_SEQL] - np.maximum(0, qmeta[ROW_D]), INVALID_OVC)
     return qmeta
 
 
@@ -108,8 +123,8 @@ def pack_tseg(bank, T, TQ=DEF_TQ, Qp=None):
 
 def build_K_np(bank_codes, Lpad, Qp, nch=None):
     ''' im2col'd one-hot bank: K[(j,c), q] = onehot(bank[q-(Lpad-1)+j])[c],
-        zero past the real Q -- padded columns carry valid=0 and never
-        pass.  bf16 for the MXU; ``nch`` channels (see
+        zero past the real Q -- padded columns carry OVC=-2^20 and can
+        never flag.  bf16 for the MXU; ``nch`` channels (see
         :py:func:`bank_channels`).  Built on host: doing the Lpad slices
         inside a jit graph costs minutes of (remote) compile time for zero
         runtime benefit since K is computed once per bank. '''
@@ -127,76 +142,50 @@ def build_K_np(bank_codes, Lpad, Qp, nch=None):
     return K.reshape(Lpad * nch, Qp).astype(ml_dtypes.bfloat16)
 
 
-def _match_kernel(maxerrors, minoverlap,
-                  read_ref, rl_ref, k_ref, qmeta_ref,
-                  stats_ref, hit_ref):
+def _cand_kernel(maxerrors, minoverlap,
+                 read_ref, rl_ref, k_ref, qmeta_ref, hit_ref):
     ''' one (q-block, b-block) grid step; see module docstring '''
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-
-    b = pl.program_id(1)
-    TQ_ = stats_ref.shape[1]
-    TB_ = hit_ref.shape[1]
 
     # bf16 x bf16 -> f32 on the MXU; one-hot match counts are small
     # integers (<= Lpad), exact in f32, and cast losslessly to i32 for
-    # the all-integer gating below
+    # the all-integer candidate screen below
     matches = jnp.dot(read_ref[:], k_ref[:],
                       preferred_element_type=jnp.float32
                       ).astype(jnp.int32)                    # [TB, TQ] i32
 
     rl = rl_ref[:, 0:1]                                      # [TB, 1] i32
-    d = qmeta_ref[ROW_D:ROW_D + 1, :]                        # [1, TQ] i32
+    dm = qmeta_ref[ROW_DM:ROW_DM + 1, :]                     # [1, TQ] i32
+    ovc = qmeta_ref[ROW_OVC:ROW_OVC + 1, :]
     seql = qmeta_ref[ROW_SEQL:ROW_SEQL + 1, :]
-    mxd = qmeta_ref[ROW_MXD:ROW_MXD + 1, :]
-    sd = qmeta_ref[ROW_SD:ROW_SD + 1, :]
-    ca = qmeta_ref[ROW_CA:ROW_CA + 1, :]
-    cb = qmeta_ref[ROW_CB:ROW_CB + 1, :]
-    mo = minoverlap
 
-    # reduced mode gating (see tensor_scan.mode_weights for the algebra;
-    # exhaustively verified equivalent to the four-window enumeration).
-    # Per-column invariants (max(0,d), seql-d, the mode-A/B column gates)
-    # come precomputed in qmeta; invalid/padded columns carry
-    # MXD = 2^20, which drives the overlap length so negative that every
-    # mode fails arithmetically -- no explicit `valid` term needed.
-    ov = jnp.minimum(seql, d + rl) - mxd                     # [TB, TQ] i32
-    govmo = ov >= mo
-    full = ov == jnp.minimum(rl, seql)
-    hit = ov - matches <= maxerrors
-    abg = (rl > mo) & govmo
-    wA = abg & (ca > 0) & (ov != seql)
-    wB = abg & (cb > 0) & (rl >= sd)
-    nmodes = (wA.astype(jnp.int32) + wB.astype(jnp.int32)
-              + full.astype(jnp.int32))
-    w = jnp.where(hit & (rl > 0), nmodes, 0)                 # [TB, TQ] i32
+    # per-row threshold part: min(minoverlap, rl), infinite on padded
+    # rows (rl == 0) so they can never flag -- [TB, 1] ops are ~free
+    # next to the [TB, TQ] elementwise work
+    rlmo = jnp.where(rl > 0, jnp.minimum(rl, minoverlap),
+                     BIG_RL_THRESHOLD)
 
-    part = jnp.concatenate(
-        [jnp.sum(w, axis=0, keepdims=True),
-         jnp.sum(w * ov, axis=0, keepdims=True),
-         jnp.zeros((6, TQ_), jnp.int32)], axis=0)            # [8, TQ]
+    # sound + tight candidate screen (see module docstring):
+    #   ov  = overlap length at this shift
+    #   tau = min(minoverlap, rl, seql) -- covers modes A/B (ov >= mo)
+    #         and containment C/D (ov == min(rl, seql)) exactly
+    ov = jnp.minimum(rl + dm, ovc)                           # [TB, TQ] i32
+    tau = jnp.minimum(rlmo, seql)
+    cand = (ov - matches <= maxerrors) & (ov >= tau)
 
-    @pl.when(b == 0)
-    def _():
-        stats_ref[:] = part
-
-    @pl.when(b > 0)
-    def _():
-        stats_ref[:] = stats_ref[:] + part
-
-    # per-read totals for this q block: rows 1..7 stay zero
-    wb = jnp.sum(w, axis=1, keepdims=True)                   # [TB, 1]
-    hit_ref[:] = jnp.pad(wb.T, ((0, 7), (0, 0)))             # [8, TB]
+    # per-read candidate-column counts for this q block; rows 1..7 zero
+    nb = jnp.sum(cand.astype(jnp.int32), axis=1, keepdims=True)  # [TB, 1]
+    hit_ref[:] = jnp.pad(nb.T, ((0, 7), (0, 0)))             # [8, TB]
 
 
 @functools.lru_cache(maxsize=None)
-def match_stats_call(Lpad, Qp, B, maxerrors, minoverlap,
-                     TB=DEF_TB, TQ=DEF_TQ, interpret=False, nch=encode.NBASE):
+def match_cand_call(Lpad, Qp, B, maxerrors, minoverlap,
+                    TB=DEF_TB, TQ=DEF_TQ, interpret=False, nch=encode.NBASE):
     '''
     :returns: jit-able ``f(read_flat [B, Lpad*nch] bf16, rl2d [B, 128] i32,
-        K [Lpad*nch, Qp] bf16, qmeta [8, Qp] i32) -> (stats [8, Qp] i32,
-        hitpart [8*nQ, B] i32)`` where stats row 0 = w_q, row 1 = wov_q,
-        and ``hitpart.sum(axis=0)[b]`` = total hit weight of read b
+        K [Lpad*nch, Qp] bf16, qmeta [8, Qp] i32) -> hitpart [8*nQ, B]
+        i32`` where ``hitpart.sum(axis=0)[b] > 0`` iff read b is a
+        candidate (a sound superset of the reads with any hit)
     '''
     import jax
     from jax.experimental import pallas as pl
@@ -206,10 +195,10 @@ def match_stats_call(Lpad, Qp, B, maxerrors, minoverlap,
     nB, nQ = B // TB, Qp // TQ
     L5 = Lpad * nch
 
-    kernel = functools.partial(_match_kernel, maxerrors, minoverlap)
+    kernel = functools.partial(_cand_kernel, maxerrors, minoverlap)
 
     grid_spec = pl.GridSpec(
-        grid=(nQ, nB),    # b innermost: stats blocks revisit consecutively
+        grid=(nQ, nB),
         in_specs=[
             pl.BlockSpec((TB, L5), lambda q, b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -221,8 +210,6 @@ def match_stats_call(Lpad, Qp, B, maxerrors, minoverlap,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, TQ), lambda q, b: (0, q),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TB), lambda q, b: (q, b),
                          memory_space=pltpu.VMEM),
         ],
@@ -230,11 +217,10 @@ def match_stats_call(Lpad, Qp, B, maxerrors, minoverlap,
 
     def call(read_flat, rl2d, K, qmeta):
         import jax.numpy as jnp
-        return pl.pallas_call(
+        (hitpart,) = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((8, Qp), jnp.int32),
                 jax.ShapeDtypeStruct((8 * nQ, B), jnp.int32),
             ],
             cost_estimate=pl.CostEstimate(
@@ -244,6 +230,7 @@ def match_stats_call(Lpad, Qp, B, maxerrors, minoverlap,
             ),
             interpret=interpret,
         )(read_flat, rl2d, K, qmeta)
+        return hitpart
 
     return call
 
@@ -273,10 +260,10 @@ def scan_step(Lpad, bank, T, maxerrors, minoverlap, B,
     through the host on relayed TPU attachments (measured ~100x slower
     steps).
 
-    Statistics come from the fused kernel; coverage comes from a second
-    pass restricted to the (compacted, sparse) hitting reads, with a
+    The kernel flags candidate reads; statistics AND coverage come from a
+    second pass restricted to the (compacted, sparse) candidates, with a
     ``lax.cond`` fallback to the all-reads contraction when more than
-    ``gather_k`` reads hit.
+    ``gather_k`` reads flag.
     '''
     qmeta_np = pack_qmeta(bank, TQ)
     tseg_np = pack_tseg(bank, T, TQ)
@@ -309,8 +296,8 @@ def scan_step_banked(Lpad, G, Qp, T, maxerrors, minoverlap, B,
 
     Bp = max(_ceil_to(B, TB), TB)
 
-    kcall = match_stats_call(Lpad, Qp, Bp, maxerrors, minoverlap,
-                             TB, TQ, interpret, nch)
+    kcall = match_cand_call(Lpad, Qp, Bp, maxerrors, minoverlap,
+                            TB, TQ, interpret, nch)
     gather_k = min(gather_k, Bp)
 
     def fold(RTw):
@@ -329,14 +316,12 @@ def scan_step_banked(Lpad, G, Qp, T, maxerrors, minoverlap, B,
                             constant_values=encode.CODE_READ_JUNK)
         rl2d = jnp.broadcast_to(rl[:, None], (Bp, 128))
 
-        stats, hitpart = kcall(read_flat, rl2d, K, qmeta)
-        w_q, wov_q = stats[0], stats[1]
-        seqhits = jax.ops.segment_sum(w_q, tseg, num_segments=T + 1)
-        seqbasehits = jax.ops.segment_sum(wov_q, tseg, num_segments=T + 1)
+        hitpart = kcall(read_flat, rl2d, K, qmeta)
 
-        # coverage over compacted hitting reads (sparse in real data);
-        # this pass one-hots the full 5 channels -- read N bases count as
-        # coverage + mutations -- against K's nch channels for matching
+        # exact stats + coverage over the compacted candidate reads
+        # (sparse in real data); the coverage pass one-hots the full 5
+        # channels -- read N bases count as coverage + mutations --
+        # against K's nch channels for matching
         meta = (qmeta[ROW_D:ROW_D + 1], qmeta[ROW_SEQL:ROW_SEQL + 1],
                 qmeta[ROW_VALID:ROW_VALID + 1])
         hit_b = jnp.sum(hitpart, axis=0)                     # [Bp]
@@ -349,22 +334,27 @@ def scan_step_banked(Lpad, G, Qp, T, maxerrors, minoverlap, B,
             * fill[:, None].astype(jnp.bfloat16)
         rlg = (rl[idx] * fill)[:, None]
 
-        def rtw_gathered(_):
+        def score_gathered(_):
             m = jnp.dot(rg, K, preferred_element_type=jnp.float32)
-            w, _ = mode_weights(m, rlg, *meta, maxerrors, minoverlap)
-            return jnp.dot(rg5.T, w.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
+            w, ov = mode_weights(m, rlg, *meta, maxerrors, minoverlap)
+            RTw = jnp.dot(rg5.T, w.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+            return RTw, jnp.sum(w, axis=0), jnp.sum(w * ov, axis=0)
 
-        def rtw_full(_):
+        def score_full(_):
             m = jnp.dot(read_flat, K, preferred_element_type=jnp.float32)
-            w, _ = mode_weights(m, rl[:, None], *meta,
-                                maxerrors, minoverlap)
+            w, ov = mode_weights(m, rl[:, None], *meta,
+                                 maxerrors, minoverlap)
             read5 = jax.nn.one_hot(codes, encode.NBASE, dtype=jnp.bfloat16) \
                 .reshape(Bp, Lpad * encode.NBASE)
-            return jnp.dot(read5.T, w.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
+            RTw = jnp.dot(read5.T, w.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+            return RTw, jnp.sum(w, axis=0), jnp.sum(w * ov, axis=0)
 
-        RTw = lax.cond(count <= gather_k, rtw_gathered, rtw_full, None)
+        RTw, w_q, wov_q = lax.cond(count <= gather_k,
+                                   score_gathered, score_full, None)
+        seqhits = jax.ops.segment_sum(w_q, tseg, num_segments=T + 1)
+        seqbasehits = jax.ops.segment_sum(wov_q, tseg, num_segments=T + 1)
         return fold(RTw).astype(jnp.float32), seqhits, seqbasehits
 
     return step

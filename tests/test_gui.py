@@ -185,6 +185,237 @@ def test_gui_log_handler_offline():
     assert any('alert' in tags for _, tags in text.chunks)
 
 
+# --- headless widget-layer tests (faketk) -----------------------------------
+#
+# This environment has no X server and nothing may be installed, so the
+# widget layer cannot run under a virtual display.  tests/faketk.py swaps
+# tkinter for an in-memory double and re-imports the gui modules against
+# it, so every application code path -- window construction, button
+# callbacks, the timer-driven scan/poll loop, explorer listings, canvas
+# plot drawing, background jobs -- executes for real.  (The reference
+# never executed any of this: its tests/test_gui.py is a manual
+# checklist.)
+
+HERE = os.path.abspath(os.path.dirname(__file__))
+MTBC_fastq = os.path.join(HERE, 'fastqs', 'N0116_1_hits_1k.fastq')
+
+needs_genome = pytest.mark.skipif(
+    not os.path.exists(os.path.join(
+        HERE, os.pardir, 'testsuites', 'MTBC',
+        'MTB_ancestor_reference.bases')),
+    reason='run tools/reconstruct_genome.py first')
+
+
+def _registry():
+    from kvarq_tpu.testsuites import discover_testsuites
+    return discover_testsuites(
+        [os.path.join(HERE, os.pardir, 'testsuites')])
+
+
+def test_headless_settings_dialog():
+    import faketk
+    from kvarq_tpu.config import default_config
+    with faketk.installed():
+        from kvarq_tpu.gui.settings import Settings
+
+        config = dict(default_config)
+        settings = Settings(config)
+        settings.show()
+        settings.entries['threads'].delete(0, 'end')
+        settings.entries['threads'].insert(0, '3')
+        settings.save_cb()
+        assert config['threads'] == 3
+        assert settings.win.destroyed
+
+        # invalid value: error dialog, window stays, config unchanged
+        settings.show()
+        settings.entries['errors'].delete(0, 'end')
+        settings.entries['errors'].insert(0, 'bogus')
+        settings.save_cb()
+        assert faketk.messagebox.calls[-1][0] == 'showerror'
+        assert config['errors'] == default_config['errors']
+        settings.cancel_cb()
+        assert settings.win.destroyed
+
+
+def test_headless_main_window():
+    import faketk
+    from kvarq_tpu.log import lo
+    with faketk.installed():
+        from kvarq_tpu.gui.main import MainGUI
+
+        gui = MainGUI(testsuite_paths=_registry())
+        try:
+            # the live log pane receives kvarq log records, colored
+            lo.info('hello from the test')
+            lo.warning('and a warning')
+            logged = gui.text.get()
+            assert 'hello from the test' in logged
+            assert '[WARNING]' in logged
+
+            # action buttons exist; 'settings' opens the dialog
+            buttons = [w for w in faketk.Widget.ALL
+                       if isinstance(w, faketk.Button)]
+            labels = [b.cget('text') for b in buttons]
+            assert 'scan .fastq files' in labels
+            assert 'explore .json files' in labels
+            next(b for b in buttons
+                 if b.cget('text') == 'settings').invoke()
+            assert not gui.settings.win.destroyed
+            gui.settings.cancel_cb()
+
+            # closing asks for confirmation (recorded, answered yes)
+            with pytest.raises(SystemExit):
+                gui.invoke_protocol('WM_DELETE_WINDOW')
+            assert faketk.messagebox.calls[-1][0] == 'askyesno'
+        finally:
+            lo.removeHandler(gui.log_handler)
+            gui.destroy()
+
+
+@needs_genome
+def test_headless_scan_save_explore(tmp_path):
+    ''' the full SimpleGUI flow: pick a fixture, tick MTBC/phylo, scan on
+        the worker thread with the timer poll loop, save the result json,
+        then explore it (listings + plot windows) -- all headless '''
+    import json
+    import time
+
+    import faketk
+    from kvarq_tpu.config import default_config
+    from kvarq_tpu.log import lo
+    lo.setLevel(logging.WARNING)
+    registry = _registry()
+
+    try:
+        with faketk.installed():
+            from kvarq_tpu.gui.settings import Settings
+            from kvarq_tpu.gui.simple import SimpleGUI
+            from kvarq_tpu.gui.explorer import (DirectoryExplorer,
+                                                JsonExplorer)
+
+            faketk.filedialog.askopenfilename = \
+                lambda *a, **kw: (MTBC_fastq,)
+
+            settings = Settings(dict(default_config))
+            gui = SimpleGUI(settings, testsuites={},
+                            testsuite_paths=registry)
+            assert gui.fastqs == [MTBC_fastq]
+            assert gui.start.cget('state') == 'normal'
+
+            # no testsuite ticked: error dialog, nothing starts
+            gui.start.invoke()
+            assert faketk.messagebox.calls[-1][0] == 'showerror'
+            assert not gui.running
+
+            # tick MTBC/phylo and start the scan
+            next(b for b in gui.selector.buttons
+                 if b.cget('text') == 'MTBC/phylo').invoke()
+            gui.start.invoke()
+            assert gui.running
+
+            deadline = time.time() + 300
+            while gui.worker is not None and time.time() < deadline:
+                faketk.pump(rounds=500)
+            assert gui.worker is None, 'scan did not finish'
+            assert gui.analysers, 'no analyser recorded'
+            assert gui.show.cget('state') == 'normal'
+            analyser = gui.analysers[MTBC_fastq]
+            assert 'MTBC/phylo' in analyser.results
+
+            # save the result through the dialog path
+            jpath = tmp_path / 'result.json'
+            fd = open(jpath, 'w')
+            faketk.filedialog.asksaveasfile = lambda *a, **kw: fd
+            gui.save_cb()
+            fd.close()
+            data = json.loads(jpath.read_text())
+            assert data['info']['format'] == 'kvarq'
+            assert 'MTBC/phylo' in data['analyses']
+
+            # show results inline (analyser route into the explorer)
+            gui.show_cb()
+
+            # ...and re-load the saved file (decode route)
+            explorer = JsonExplorer(str(jpath), testsuites={},
+                                    testsuite_paths=registry)
+            assert any('MTBC/phylo' in item
+                       for item in explorer.alist.items)
+            faketk.pump(rounds=5)   # poll() fills the coverage list
+            explorer.alist.selection_set(0)   # 'info'
+            faketk.pump(rounds=5)
+            assert any(line.startswith('fastq :')
+                       for line in explorer.clist.items)
+
+            # open the three info plot windows (canvas drawing)
+            for row, line in enumerate(explorer.clist.items):
+                if line.endswith('...'):
+                    explorer.clist.selection_set(row)
+                    explorer.show_coverage(None)
+
+            # coverage rows + coverage plot window
+            explorer.alist.selection_set(1)
+            explorer.refresh_coverages()
+            assert len(explorer.clist.items) \
+                == len(analyser.testsuites['MTBC/phylo'].tests)
+            explorer.clist.selection_set(0)
+            explorer.show_coverage(None)
+
+            canvases = [w for w in faketk.Widget.ALL
+                        if isinstance(w, faketk.Canvas)]
+            assert canvases, 'plot windows created no canvas'
+            for canvas in canvases:
+                canvas.event_generate('<Configure>')
+            assert any(canvas.items for canvas in canvases), \
+                'plot windows drew nothing'
+
+            # directory explorer over the saved json + csv summarize
+            dx = DirectoryExplorer(str(tmp_path), testsuites={},
+                                   testsuite_paths=registry)
+            assert dx.jlist.items == ['result.json']
+            dx.jlist.selection_set(0)
+            errors_before = [c for c in faketk.messagebox.calls
+                             if c[0] == 'showerror']
+            dx.open_json()
+            assert [c for c in faketk.messagebox.calls
+                    if c[0] == 'showerror'] == errors_before, \
+                'open_json raised: %r' % (faketk.messagebox.calls,)
+
+            dx.summarize()
+
+            def exported():
+                # export_done fires the confirmation dialog last
+                return any(c[0] == 'showinfo'
+                           and 'csv' in str(c[1]) + str(c[2])
+                           for c in faketk.messagebox.calls)
+            deadline = time.time() + 60
+            while not exported() and time.time() < deadline:
+                faketk.pump(rounds=500, until=exported)
+            assert exported(), faketk.messagebox.calls
+            csvs = list(tmp_path.glob('results*.csv'))
+            assert csvs and 'MTBC/phylo' in csvs[0].read_text()
+    finally:
+        lo.setLevel(logging.INFO)
+
+
+def test_headless_plot_windows():
+    ''' every plot window class draws onto its canvas '''
+    import faketk
+    with faketk.installed():
+        from kvarq_tpu.gui import tkplot
+
+        win = tkplot.ReadlengthWindow([0, 1, 5, 9, 12, 3] * 10)
+        win2 = tkplot.HitHistogramWindow([3, 1, 4, 1, 5, 9, 2, 6])
+        win3 = tkplot.SpoligoWindow([1, 0, 4] * 14 + [2])
+        for w in (win, win2, win3):
+            canvas = w.win.display.canvas
+            canvas.event_generate('<Configure>')
+            assert canvas.items, type(w).__name__
+            # mouse-over readout must not raise, inside or outside
+            canvas.event_generate('<Motion>', x=50, y=50)
+            canvas.event_generate('<Motion>', x=0, y=0)
+
+
 @pytest.mark.skipif(not _has_display(), reason='no display')
 def test_widgets_construct(tmp_path):
     from kvarq_tpu.gui.util import ThemedTk

@@ -100,6 +100,84 @@ def test_multistream_gz(tmp_path):
     assert_equal_batches(b1, b2)
 
 
+def write_bgzf(path, payload, block=8192):
+    ''' minimal BGZF writer: each <=64 KB chunk becomes an independent
+        gzip member whose total compressed size is recorded in the BC
+        extra subfield (the bgzip/htslib on-disk format), plus the
+        28-byte empty EOF block '''
+    import struct
+    import zlib
+
+    def member(chunk):
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cdata = co.compress(chunk) + co.flush()
+        bsize = 12 + 6 + len(cdata) + 8   # header+extra+deflate+trailer
+        hdr = struct.pack('<BBBBIBBH', 0x1f, 0x8b, 8, 4, 0, 0, 0xff, 6)
+        extra = struct.pack('<BBHH', ord('B'), ord('C'), 2, bsize - 1)
+        trailer = struct.pack('<II', zlib.crc32(chunk) & 0xffffffff,
+                              len(chunk))
+        return hdr + extra + cdata + trailer
+
+    with open(path, 'wb') as f:
+        for lo in range(0, len(payload), block):
+            f.write(member(payload[lo:lo + block]))
+        f.write(member(b''))   # bgzf EOF marker
+
+
+def test_bgzf_parallel_decode(tmp_path):
+    ''' a BGZF file (block-compressed gzip) takes the parallel per-block
+        decode path and must produce byte-identical batches to the numpy
+        pipeline reading the same file through gzip; the exact
+        decompressed size is known up front (stats.total) '''
+    recs = b''.join(b'@r%d\nACGTACGTACGTAAAA\n+\nIIIIIIIIIIIIIIII\n' % i
+                    for i in range(5000))
+    p = str(tmp_path / 'big.fastq.gz')
+    write_bgzf(p, recs, block=4096)
+
+    (b1, s1), (b2, s2) = both([p])
+    assert s1.records_parsed == 5000
+    assert s1.total == len(recs)   # exact, from the block index
+    assert_equal_batches(b1, b2)
+
+    # threaded reader over the bgzf stream stays deterministic
+    s3 = reader.ReaderStats()
+    b3 = list(native.batches([p], ord('!'), 3, s3, 64, nthreads=4))
+    assert_equal_batches(b3, b2)
+
+
+def test_bgzf_corrupt_block(tmp_path):
+    ''' a corrupted BGZF block payload must surface as a decode error '''
+    recs = b''.join(b'@r%d\nACGTACGT\n+\nIIIIIIII\n' % i
+                    for i in range(2000))
+    p = str(tmp_path / 'bad.fastq.gz')
+    write_bgzf(p, recs, block=4096)
+    data = bytearray(open(p, 'rb').read())
+    data[len(data) // 2] ^= 0xff   # clobber a mid-file block payload
+    with open(p, 'wb') as f:
+        f.write(data)
+    with pytest.raises(Exception) as e:
+        list(native.batches([p], ord('!'), 1, reader.ReaderStats(), 64))
+    assert 'inflating' in str(e.value) or 'bgzf' in str(e.value)
+
+
+def test_big_gz_ring_path(tmp_path):
+    ''' plain gz above the whole-file background-decode cap streams
+        through the dedicated decode thread (ring); forcing the cap to 0
+        exercises that path on a small file '''
+    recs = b''.join(b'@r%d\nACGTACGTACGTACGT\n+\nIIIIIIIIIIIIIIII\n' % i
+                    for i in range(3000))
+    p = str(tmp_path / 'ring.fastq.gz')
+    with open(p, 'wb') as f:
+        f.write(gzip.compress(recs))
+    os.environ['KVARQ_GZ_BGCAP'] = '0'
+    try:
+        (b1, s1), (b2, s2) = both([p])
+    finally:
+        os.environ.pop('KVARQ_GZ_BGCAP')
+    assert s1.records_parsed == 3000
+    assert_equal_batches(b1, b2)
+
+
 def test_sieve_parity():
     ''' native C sieve (rolling k-mer filter inside kvq_next) keeps exactly
         the reads the numpy KmerSieve keeps, with identical stats '''
