@@ -196,6 +196,19 @@ def main():
                             if f.endswith('-cache')]) if cache_dir else 0
         except Exception:
             pass
+        # separate the shared attachment's session-admission latency (a
+        # trivial first round-trip took 3-937 s depending on external
+        # tenant load; measured, see BASELINE.md) from this software's
+        # own warmup cost, which the next line then reports cleanly
+        try:
+            import jax.numpy as jnp
+            t0 = time.time()
+            float(np.asarray(jnp.arange(8.0).sum()))
+            print('first device contact (attachment admission, '
+                  'environmental): %.1fs' % (time.time() - t0),
+                  file=sys.stderr)
+        except Exception:
+            pass
         t0 = time.time()
         warm = engine.countseqs(wpath, seqs)
         print('cold-start warmup (incl. compile; persistent cache held '
