@@ -54,6 +54,29 @@ constexpr uint8_t CODE_READ_JUNK = 5;  // kvarq_tpu/engine/encode.py
 // dispatch is cheap and overlap wins.
 constexpr int64_t DEFAULT_PARSE_CAP = 4 * 262144;
 
+// $KVARQ_PROF=1: aggregate per-phase cycle counters (printed to stderr
+// at kvq_close) -- development aid for placing optimization effort;
+// zero overhead when off (single branch per phase)
+inline bool prof_enabled() {
+    static const bool on = [] {
+        const char* e = std::getenv("KVARQ_PROF");
+        return e && e[0] && e[0] != '0';
+    }();
+    return on;
+}
+
+inline uint64_t prof_now() {
+#if defined(__x86_64__)
+    unsigned lo, hi;
+    __asm__ __volatile__("rdtsc" : "=a"(lo), "=d"(hi));
+    return ((uint64_t)hi << 32) | lo;
+#else
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (uint64_t)ts.tv_sec * 1000000000ull + ts.tv_nsec;
+#endif
+}
+
 struct Stream {
     std::string fname;
     FILE* f = nullptr;
@@ -309,6 +332,21 @@ struct Reader {
     uint32_t sieve_mask2 = 0;  // (1 << 2k) - 1
     // 2-bit-code -> base-5-code conversion, 4 digits per byte
     int64_t conv5[3][256];
+    // secondary index keyed directly by the 2-bit (ACGT) window code for
+    // N-free bank k-mers: start2 is 4^k + 1 entries (256 KB at k=8 --
+    // L2-resident vs the base-5 start's 1.5 MB), gpos2/gtid2 the
+    // re-bucketed seed lists.  A window without N can only match an
+    // N-free bank k-mer, so probing this index is exact for such windows
+    // and skips both the base-5 conversion and the large-table loads
+    // that otherwise dominate sieve time (~10 presence probes per read).
+    std::vector<int32_t> sieve_start2;
+    // (gpos, gtid) interleaved -- one cache line per stage-2 entry
+    // instead of two parallel-array loads.  seed2 is indexed by the
+    // 2-bit start2 buckets, seed5 mirrors the caller's gpos/gtid for the
+    // base-5 buckets (N windows, k = 12 fallback).
+    std::vector<int32_t> sieve_seed2;
+    std::vector<int32_t> sieve_seed5;
+    bool sieve_has2 = false;
 
     // worker-thread machinery (nthreads > 1): workers pull record-aligned
     // spans from the shared stream under in_mtx (the reference's
@@ -329,6 +367,13 @@ struct Reader {
     WorkItem* cur = nullptr;        // partially drained item
     size_t cur_i = 0;
 
+    // $KVARQ_PROF phase cycle counters (see prof_enabled)
+    mutable std::atomic<uint64_t> prof_fill{0};    // stream fill/inflate
+    mutable std::atomic<uint64_t> prof_split{0};   // record-span splitting
+    mutable std::atomic<uint64_t> prof_trim{0};    // parse checks + trim
+    mutable std::atomic<uint64_t> prof_sieve{0};   // k-mer sieve
+    mutable std::atomic<uint64_t> prof_pack{0};    // batch packing/encode
+    mutable std::atomic<uint64_t> prof_item{0};    // process_item total
 };
 
 void update_total(Reader* r) {
@@ -750,6 +795,182 @@ inline size_t first_below(const uint8_t* q, size_t n, uint8_t amin) {
     return n;
 }
 
+// ---- k-mer seed-and-verify sieve ----------------------------------------
+//
+// Three-stage cascade; must keep exactly the reads
+// kvarq_tpu.engine.sieve.KmerSieve.candidates keeps (the numpy oracle;
+// tests assert read-for-read parity).  Junk bytes (anything outside
+// ACGTN) reset the rolling window.
+
+// per-read seed bookkeeping shared by both sieve implementations;
+// (diag, tid) packed into one u64 key so the dedup scan is one load
+// per entry
+struct SeedState {
+    static constexpr int MAX_SEEDS = 256;
+    uint64_t keys[MAX_SEEDS];
+    int16_t counts[MAX_SEEDS];
+    int nseeds = 0;
+};
+
+// stages 2 + 3 over the bank entries [jlo, jhi) of one read window at
+// `wpos`: collect seeds per (diagonal, template); at exactly t seeds run
+// the exact overlap check.  Returns true once the read is proven a
+// candidate (incl. the conservative keep on seed-list overflow).
+inline bool sieve_stage2(const Reader* r, const uint8_t* rp, int rl,
+                         int wpos, const int32_t* seeds,
+                         int32_t jlo, int32_t jhi, SeedState& ss) {
+    const int t = r->sieve_t;
+    for (int32_t j = jlo; j < jhi; j++) {
+        const int32_t diag = seeds[2 * j] - wpos;
+        const int32_t tid = seeds[2 * j + 1];
+        const uint64_t key = ((uint64_t)(uint32_t)diag << 32)
+                           | (uint32_t)tid;
+        int s = 0;
+        for (; s < ss.nseeds; s++)
+            if (ss.keys[s] == key) break;
+        if (s == ss.nseeds) {
+            if (ss.nseeds == SeedState::MAX_SEEDS)
+                return true;               // overflow: keep (conservative)
+            ss.keys[s] = key; ss.counts[s] = 0;
+            ss.nseeds++;
+        }
+        // stage 2: t seeds on one (diagonal, template)
+        if (++ss.counts[s] != t) continue;
+        // stage 3: exact overlap check at this diagonal
+        int64_t lo2 = r->sieve_tstart[tid];
+        if (diag > lo2) lo2 = diag;
+        int64_t hi2 = r->sieve_tstop[tid];
+        if (diag + rl < hi2) hi2 = diag + rl;
+        if (hi2 - lo2 < r->sieve_m) { ss.counts[s] = -32000; continue; }
+        int mism = 0;
+        bool pass = true;
+        for (int64_t g2 = lo2; g2 < hi2; g2++) {
+            if (r->sieve_bank[g2] != r->code_of[rp[g2 - diag]]
+                && ++mism > r->sieve_e) {
+                pass = false;
+                break;
+            }
+        }
+        if (pass) return true;
+        ss.counts[s] = -32000;             // verified dead
+    }
+    return false;
+}
+
+// rolling-window implementation over the base-5 index (any k) -- the
+// direct transcription of the oracle; used when the 2-bit secondary
+// index is unavailable (k = 12)
+bool sieve_candidate_base5(const Reader* r, const uint8_t* rp, int rl) {
+    const int k = r->sieve_k;
+    const uint32_t mask2 = r->sieve_mask2;
+    SeedState ss;
+    uint32_t kcode2 = 0;   // rolling 2-bit (ACGT) window code
+    int krun = 0;          // non-junk run length
+    int krun4 = 0;         // ACGT-only run length
+    for (int i = 0; i < rl; i++) {
+        uint8_t c = r->code_of[rp[i]];
+        if (c >= 5) { krun = 0; krun4 = 0; continue; }
+        if (c < 4) { kcode2 = ((kcode2 << 2) | c) & mask2; krun4++; }
+        else { krun4 = 0; }
+        if (++krun < k) continue;
+        // stage 1: presence bit.  N-free windows hit the 4^k-bit map;
+        // windows containing N take the base-5 map.
+        int64_t kcode;
+        if (krun4 >= k) {
+            if (!(r->sieve_present2[kcode2 >> 6] >> (kcode2 & 63) & 1))
+                continue;
+            kcode = r->conv5[0][kcode2 & 0xFF]
+                  + r->conv5[1][(kcode2 >> 8) & 0xFF]
+                  + r->conv5[2][(kcode2 >> 16) & 0xFF];
+        } else {
+            kcode = 0;
+            for (int j = i + 1 - k; j <= i; j++)
+                kcode = kcode * 5 + r->code_of[rp[j]];
+            if (!(r->sieve_present[(size_t)kcode >> 6]
+                  >> (kcode & 63) & 1))
+                continue;
+        }
+        if (sieve_stage2(r, rp, rl, i + 1 - k, r->sieve_seed5.data(),
+                         r->sieve_start[kcode], r->sieve_start[kcode + 1],
+                         ss))
+            return true;
+    }
+    return false;
+}
+
+// two-phase fast path over the 2-bit secondary index (k <= 11; default
+// k = 8).  Phase 1 is a branchless presence scan -- the ~10%-taken
+// presence branch of the rolling formulation cost ~2 mispredict cycles
+// per BASE -- that packs hit windows into a list; phase 2 prefetches
+// all stage-2 bucket bounds up front (memory-level parallelism instead
+// of serial L2 misses) and then probes them.  Candidate set is
+// identical to sieve_candidate_base5 by construction.
+bool sieve_candidate_fast(const Reader* r, const uint8_t* rp, int rl) {
+    const int k = r->sieve_k;
+    const uint32_t mask2 = r->sieve_mask2;
+
+    // phase 1: packed window list of presence hits (and rare N-windows,
+    // which carry their own base-5 presence check in phase 2)
+    uint64_t wins[MAX_READLENGTH];
+    int nw = 0;
+    uint32_t kcode2 = 0;
+    int krun = 0, krun4 = 0;
+    for (int i = 0; i < rl; i++) {
+        const uint8_t c = r->code_of[rp[i]];
+        const bool junk = c >= 5;
+        const bool isn = c == 4;
+        kcode2 = ((kcode2 << 2) | (c & 3u)) & mask2;
+        krun = junk ? 0 : krun + 1;
+        krun4 = (junk | isn) ? 0 : krun4 + 1;
+        const bool full4 = krun4 >= k;
+        // & not &&: the presence bit is true for ~10% of windows, which
+        // as a short-circuit branch costs ~2 mispredict cycles per base
+        const bool hit2 = full4
+            & (bool)(r->sieve_present2[kcode2 >> 6] >> (kcode2 & 63) & 1);
+        const bool hitn = (krun >= k) & !full4;   // window contains N
+        wins[nw] = ((uint64_t)hitn << 63)
+                 | ((uint64_t)(uint32_t)(i + 1 - k) << 32) | kcode2;
+        nw += (int)(hit2 | hitn);
+    }
+    if (!nw) return false;
+
+    // phase 2: prefetch every bucket's bounds, then every bucket's seed
+    // rows, then run stages 2/3 -- memory-level parallelism instead of
+    // a serial chain of L2 misses per probe
+    for (int q = 0; q < nw; q++)
+        if (!(wins[q] >> 63))
+            __builtin_prefetch(&r->sieve_start2[(uint32_t)wins[q]]);
+    int32_t bounds[MAX_READLENGTH][2];
+    for (int q = 0; q < nw; q++) {
+        if (wins[q] >> 63) continue;
+        const uint32_t w = (uint32_t)wins[q];
+        bounds[q][0] = r->sieve_start2[w];
+        bounds[q][1] = r->sieve_start2[w + 1];
+        __builtin_prefetch(&r->sieve_seed2[2 * (size_t)bounds[q][0]]);
+    }
+    SeedState ss;
+    for (int q = 0; q < nw; q++) {
+        const int wpos = (int)(uint32_t)(wins[q] >> 32) & 0x7FFFFFFF;
+        if (wins[q] >> 63) {          // N window: base-5 path (rare)
+            int64_t kcode = 0;
+            for (int j = wpos; j < wpos + k; j++)
+                kcode = kcode * 5 + r->code_of[rp[j]];
+            if (!(r->sieve_present[(size_t)kcode >> 6]
+                  >> (kcode & 63) & 1))
+                continue;
+            if (sieve_stage2(r, rp, rl, wpos, r->sieve_seed5.data(),
+                             r->sieve_start[kcode],
+                             r->sieve_start[kcode + 1], ss))
+                return true;
+        } else {
+            if (sieve_stage2(r, rp, rl, wpos, r->sieve_seed2.data(),
+                             bounds[q][0], bounds[q][1], ss))
+                return true;
+        }
+    }
+    return false;
+}
+
 // Parse sanity checks + quality trim + sieve for the record whose four
 // line-end newlines are nls[0..3] within `b` (record starts at `p`);
 // `base_off` is the global decompressed offset of b[0].  Histogram
@@ -784,6 +1005,7 @@ int handle_record(const Reader* r, const uint8_t* b, size_t p,
     // '\r' < any sane amin -- matched by byte comparison either way.
     // SWAR fast path: most lines pass entirely, and the prefix run up to
     // the first failing byte is the first candidate for "longest".
+    const uint64_t prof_t0 = prof_enabled() ? prof_now() : 0;
     const int amin = r->amin;
     size_t qs = nls[2] + 1, qe = nls[3];
     size_t f = first_below(b + qs, qe - qs, (uint8_t)amin);
@@ -803,91 +1025,25 @@ int handle_record(const Reader* r, const uint8_t* b, size_t p,
     rls[hrl]++;
     if (rl > *rls_longest) *rls_longest = rl;
 
+    uint64_t prof_t1 = 0;
+    if (prof_t0) {
+        prof_t1 = prof_now();
+        r->prof_trim.fetch_add(prof_t1 - prof_t0,
+                               std::memory_order_relaxed);
+    }
+
     if (rl < r->minreadlength || rl <= 0)
         return 0;
 
     size_t bs = nls[0] + 1 + (size_t)best_off;  // trimmed read start
 
     if (r->sieve_start && rl >= r->sieve_k) {
-        // three-stage seed-and-verify filter; must keep exactly the
-        // reads kvarq_tpu.engine.sieve.KmerSieve.candidates keeps (the
-        // numpy oracle; tests assert read-for-read parity).  Junk bytes
-        // (anything outside ACGTN) reset the rolling window.
-        const uint8_t* rp = b + bs;
-        const int k = r->sieve_k;
-        const int t = r->sieve_t;
-        const uint32_t mask2 = r->sieve_mask2;
-        constexpr int MAX_SEEDS = 256;
-        int32_t diags[MAX_SEEDS];
-        int32_t tids[MAX_SEEDS];
-        int16_t counts[MAX_SEEDS];
-        int nseeds = 0;
-        uint32_t kcode2 = 0;   // rolling 2-bit (ACGT) window code
-        int krun = 0;          // non-junk run length
-        int krun4 = 0;         // ACGT-only run length
-        bool cand = false;
-        for (int i = 0; i < rl && !cand; i++) {
-            uint8_t c = r->code_of[rp[i]];
-            if (c >= 5) { krun = 0; krun4 = 0; continue; }
-            if (c < 4) { kcode2 = ((kcode2 << 2) | c) & mask2; krun4++; }
-            else { krun4 = 0; }
-            if (++krun < k) continue;
-            // stage 1: presence bit.  N-free windows (the norm) hit the
-            // tiny 4^k-bit map (L1-resident at k=8); windows containing
-            // N fall back to the base-5 map.
-            int64_t kcode;
-            if (krun4 >= k) {
-                if (!(r->sieve_present2[kcode2 >> 6]
-                      >> (kcode2 & 63) & 1))
-                    continue;
-                kcode = r->conv5[0][kcode2 & 0xFF]
-                      + r->conv5[1][(kcode2 >> 8) & 0xFF]
-                      + r->conv5[2][(kcode2 >> 16) & 0xFF];
-            } else {
-                kcode = 0;
-                for (int j = i + 1 - k; j <= i; j++)
-                    kcode = kcode * 5 + r->code_of[rp[j]];
-                if (!(r->sieve_present[(size_t)kcode >> 6]
-                      >> (kcode & 63) & 1))
-                    continue;
-            }
-            const int wpos = i + 1 - k;  // window start in read
-            for (int32_t j = r->sieve_start[kcode];
-                 j < r->sieve_start[kcode + 1] && !cand; j++) {
-                const int32_t diag = r->sieve_gpos[j] - wpos;
-                const int32_t tid = r->sieve_gtid[j];
-                int s = 0;
-                for (; s < nseeds; s++)
-                    if (diags[s] == diag && tids[s] == tid) break;
-                if (s == nseeds) {
-                    if (nseeds == MAX_SEEDS) {  // overflow:
-                        cand = true;            // keep (conservative)
-                        break;
-                    }
-                    diags[s] = diag; tids[s] = tid; counts[s] = 0;
-                    nseeds++;
-                }
-                // stage 2: t seeds on one (diagonal, template)
-                if (++counts[s] != t) continue;
-                // stage 3: exact overlap check at this diagonal
-                int64_t lo2 = r->sieve_tstart[tid];
-                if (diag > lo2) lo2 = diag;
-                int64_t hi2 = r->sieve_tstop[tid];
-                if (diag + rl < hi2) hi2 = diag + rl;
-                if (hi2 - lo2 < r->sieve_m) { counts[s] = -32000; continue; }
-                int mism = 0;
-                bool pass = true;
-                for (int64_t g2 = lo2; g2 < hi2; g2++) {
-                    if (r->sieve_bank[g2] != r->code_of[rp[g2 - diag]]
-                        && ++mism > r->sieve_e) {
-                        pass = false;
-                        break;
-                    }
-                }
-                if (pass) cand = true;
-                else counts[s] = -32000;  // verified dead
-            }
-        }
+        const bool cand = r->sieve_has2
+            ? sieve_candidate_fast(r, b + bs, rl)
+            : sieve_candidate_base5(r, b + bs, rl);
+        if (prof_t1)
+            r->prof_sieve.fetch_add(prof_now() - prof_t1,
+                                    std::memory_order_relaxed);
         if (!cand) return 0;
     }
 
@@ -908,7 +1064,11 @@ WorkItem* pull_work(Reader* r) {
         if (r->stopping || r->split_failed || r->split_eof) return nullptr;
         size_t avail = r->buf.size() - r->buf_pos;
         if (avail < WORKCHUNK && !r->at_eof) {
-            if (fill_buf(r) < 0) {
+            const uint64_t t0 = prof_enabled() ? prof_now() : 0;
+            long n = fill_buf(r);
+            if (t0) r->prof_fill.fetch_add(prof_now() - t0,
+                                           std::memory_order_relaxed);
+            if (n < 0) {
                 r->split_error = r->error;
                 r->split_failed = true;
                 r->out_cv.notify_all();
@@ -917,6 +1077,7 @@ WorkItem* pull_work(Reader* r) {
             continue;
         }
         // find the end of the last complete record (every 4th newline)
+        const uint64_t st0 = prof_enabled() ? prof_now() : 0;
         const uint8_t* base = r->buf.data();
         size_t scan_end = r->buf_pos +
             (avail < WORKCHUNK ? avail : WORKCHUNK);
@@ -935,6 +1096,8 @@ WorkItem* pull_work(Reader* r) {
             q = (const uint8_t*)nl - base + 1;
             if (++nl_count % 4 == 0) last_rec_end = q;
         }
+        if (st0) r->prof_split.fetch_add(prof_now() - st0,
+                                         std::memory_order_relaxed);
         if (last_rec_end == 0) {
             if (!r->at_eof) {      // need more data for one record
                 if (fill_buf(r) < 0) {
@@ -962,6 +1125,7 @@ WorkItem* pull_work(Reader* r) {
 
 // parse + trim + sieve every record of the item into its local outputs
 void process_item(Reader* r, WorkItem* it) {
+    const uint64_t it0 = prof_enabled() ? prof_now() : 0;
     const uint8_t* b = it->data.data();
     const size_t len = it->data.size();
     size_t p = 0;
@@ -990,6 +1154,8 @@ void process_item(Reader* r, WorkItem* it) {
         }
         p = nls[3] + 1;
     }
+    if (it0) r->prof_item.fetch_add(prof_now() - it0,
+                                    std::memory_order_relaxed);
 }
 
 void worker_main(Reader* r) {
@@ -1046,6 +1212,7 @@ long next_threaded(Reader* r, long cap, long lmax, uint8_t* raw,
             consumed += r->cur->nrecords;
         }
         WorkItem* it = r->cur;
+        const uint64_t pt0 = prof_enabled() ? prof_now() : 0;
         while (out < cap && r->cur_i < it->cands.size()) {
             const CandRec& c = it->cands[r->cur_i];
             if (c.rl > lmax) {
@@ -1062,6 +1229,8 @@ long next_threaded(Reader* r, long cap, long lmax, uint8_t* raw,
             out++;
             r->cur_i++;
         }
+        if (pt0) r->prof_pack.fetch_add(prof_now() - pt0,
+                                        std::memory_order_relaxed);
         if (r->cur_i >= it->cands.size()) {
             bool had_error = it->has_error;
             if (had_error) r->error = it->error;
@@ -1143,6 +1312,22 @@ void kvq_set_sieve(Reader* r, const int32_t* start, const int32_t* gpos,
     // bitmap (4^k bits; 8 KB at k=8): a window without N can only match
     // an N-free bank k-mer, so the small map is exact for such windows
     r->sieve_present2.assign(((size_t)1 << (2 * k)) / 64 + 1, 0);
+    // 2-bit-keyed secondary index (see Reader): 4^k + 1 start entries is
+    // affordable up to k = 11 (16 MB); beyond that the base-5 index
+    // remains the only path.  N-free base-5 codes ascend monotonically
+    // in their 2-bit image (both are big-endian digit strings), so the
+    // re-bucketed lists fill in one ordered pass.
+    r->sieve_has2 = k <= 11;
+    if (r->sieve_has2) {
+        r->sieve_start2.assign(((size_t)1 << (2 * k)) + 1, 0);
+        r->sieve_seed2.clear();
+    }
+    const int32_t nentries = start[r->sieve_p5k];
+    r->sieve_seed5.resize((size_t)nentries * 2);
+    for (int32_t j = 0; j < nentries; j++) {
+        r->sieve_seed5[2 * (size_t)j] = gpos[j];
+        r->sieve_seed5[2 * (size_t)j + 1] = gtid[j];
+    }
     for (int64_t c = 0; c < r->sieve_p5k; c++) {
         if (start[c + 1] <= start[c]) continue;
         r->sieve_present[(size_t)c >> 6] |= 1ull << (c & 63);
@@ -1155,9 +1340,19 @@ void kvq_set_sieve(Reader* r, const int32_t* start, const int32_t* gpos,
             if (d == 4) { has_n = true; break; }
             c2 |= (uint32_t)d << (2 * j);
         }
-        if (!has_n)
-            r->sieve_present2[c2 >> 6] |= 1ull << (c2 & 63);
+        if (has_n) continue;
+        r->sieve_present2[c2 >> 6] |= 1ull << (c2 & 63);
+        if (r->sieve_has2) {
+            r->sieve_start2[c2 + 1] = start[c + 1] - start[c];
+            for (int32_t j = start[c]; j < start[c + 1]; j++) {
+                r->sieve_seed2.push_back(gpos[j]);
+                r->sieve_seed2.push_back(gtid[j]);
+            }
+        }
     }
+    if (r->sieve_has2)
+        for (size_t i = 1; i < r->sieve_start2.size(); i++)
+            r->sieve_start2[i] += r->sieve_start2[i - 1];
     // 2-bit -> base-5 value conversion tables, 4 digits per byte
     for (int g = 0; g < 3; g++) {
         int64_t scale = 1;
@@ -1256,6 +1451,17 @@ long kvq_next(Reader* r, long cap, long lmax, uint8_t* raw, uint8_t* codes,
 void kvq_close(Reader* r) {
     r->stopping = true;
     for (auto& w : r->workers) w.join();
+    if (prof_enabled()) {
+        const uint64_t trim = r->prof_trim.load(), sieve = r->prof_sieve.load();
+        const uint64_t item = r->prof_item.load();
+        std::fprintf(stderr,
+                     "[kvarq-prof] cycles: fill=%.3g split=%.3g trim=%.3g "
+                     "sieve=%.3g pack=%.3g item_other=%.3g (records=%lld)\n",
+                     (double)r->prof_fill.load(), (double)r->prof_split.load(),
+                     (double)trim, (double)sieve, (double)r->prof_pack.load(),
+                     (double)(item > trim + sieve ? item - trim - sieve : 0),
+                     (long long)r->records_parsed);
+    }
     for (auto& kv : r->completed) delete kv.second;
     delete r->cur;
     for (auto& s : r->streams) close_stream(s);
