@@ -107,7 +107,10 @@ def test_sieve_native_parity_random(tmp_path, seed):
     path = str(tmp_path / 'parity.fastq')
     write_fastq(path, reads)
 
-    for me, mo, mrl in [(2, 25, 25), (0, 12, 12), (1, 14, 14)]:
+    # k = m // (me+1): 8, 12 (base-5 fallback, no 2-bit index), 7, 11
+    # (largest 2-bit-indexed k), 6 (MIN_USEFUL_K)
+    for me, mo, mrl in [(2, 25, 25), (0, 12, 12), (1, 14, 14),
+                        (0, 11, 11), (0, 6, 6)]:
         sieve = KmerSieve.build(templates, me, mo, mrl)
         if sieve is None:
             continue
