@@ -15,20 +15,26 @@ costing ~3x the MXU contraction (42.6 vs 136 TFLOP/s, BASELINE.md) -- on
 a VPU, per-element gating rivals a 512-MAC matmul column.  But exact
 per-mode weights are only needed for reads that can hit at all, and those
 are rare (a few kbp of targets vs megabases of reads).  So the kernel
-now evaluates one sound, tight candidate predicate per element
+now evaluates one sound candidate predicate per element
 
-    cand = (ov - matches <= maxerrors)  &  (ov >= tau)
+    cand' = matches >= max(ov, tau) - maxerrors
 
-with ``ov = min(rl + dm, ovc)`` (2 ops from precomputed per-column
+with ``ov = min(rl + dm, ovc)`` (from precomputed per-column
 ``dm = min(d, 0)``, ``ovc = seql - max(0, d)``) and the threshold
 ``tau = min(minoverlap, rl, seql)``.  Soundness: any reference hit mode
 requires either overlap >= minoverlap (modes A/B) or full containment
 ``ov == min(rl, seql)`` (modes C/D, which have *no* minoverlap bound);
 since ``ov <= min(rl, seql)`` always, both cases are exactly
-``ov >= min(minoverlap, rl, seql)``.  Padded rows get an infinite row
-threshold (rl == 0), padded/gap columns an ``ovc`` of -2^20, so neither
-can ever flag.  ~8 VPU ops/element, emitted as per-read flag-count
-partials ``[8*nQ, B]``.
+``ov >= tau`` together with ``ov - matches <= maxerrors`` -- and that
+exact predicate implies ``max(ov, tau) = ov``, so cand' is a superset.
+The relaxation (flagging ``ov < tau`` when ``matches >= tau - e``)
+admits only near-perfect sub-threshold overlaps -- vanishing on real
+data -- and flagged reads are re-scored exactly anyway.  Padded rows
+get an infinite row threshold (rl == 0), padded/gap columns an ``ovc``
+of -2^20 and an infinite ``tau`` (their K columns are all-zero, so
+``matches == 0``).  5-6 VPU ops/element all in f32 (thresholds are
+integers < 2^21, exact in f32 -- no i32 cast of the match tile),
+emitted as per-read flag-count partials ``[8*nQ, B]``.
 
 The flagged reads (true hits plus a vanishing number of near-miss false
 positives -- a random 25-mer overlap passes only with >= 23/25 identity)
@@ -148,30 +154,44 @@ def _cand_kernel(maxerrors, minoverlap,
     import jax.numpy as jnp
 
     # bf16 x bf16 -> f32 on the MXU; one-hot match counts are small
-    # integers (<= Lpad), exact in f32, and cast losslessly to i32 for
-    # the all-integer candidate screen below
+    # integers (<= Lpad), exact in f32.  The screen stays in f32 too:
+    # every threshold below is an integer of magnitude < 2^21, exactly
+    # representable, so f32 compares are exact and the [TB, TQ] i32
+    # cast is saved.
     matches = jnp.dot(read_ref[:], k_ref[:],
-                      preferred_element_type=jnp.float32
-                      ).astype(jnp.int32)                    # [TB, TQ] i32
+                      preferred_element_type=jnp.float32)    # [TB, TQ] f32
 
     rl = rl_ref[:, 0:1]                                      # [TB, 1] i32
     dm = qmeta_ref[ROW_DM:ROW_DM + 1, :]                     # [1, TQ] i32
     ovc = qmeta_ref[ROW_OVC:ROW_OVC + 1, :]
     seql = qmeta_ref[ROW_SEQL:ROW_SEQL + 1, :]
+    valid = qmeta_ref[ROW_VALID:ROW_VALID + 1, :]
 
-    # per-row threshold part: min(minoverlap, rl), infinite on padded
-    # rows (rl == 0) so they can never flag -- [TB, 1] ops are ~free
-    # next to the [TB, TQ] elementwise work
-    rlmo = jnp.where(rl > 0, jnp.minimum(rl, minoverlap),
-                     BIG_RL_THRESHOLD)
+    # row/column pieces, with maxerrors folded in -- [TB, 1] / [1, TQ]
+    # ops are ~free next to the [TB, TQ] elementwise work
+    rlmo_e = (jnp.where(rl > 0, jnp.minimum(rl, minoverlap),
+                        BIG_RL_THRESHOLD) - maxerrors).astype(jnp.float32)
+    dm_e = (dm - maxerrors).astype(jnp.float32)
+    ovc_e = (ovc - maxerrors).astype(jnp.float32)  # -2^20 on padded cols
+    # invalid/padded columns must keep an unreachable threshold: their
+    # K columns are all-zero (matches == 0), so force tau there
+    seql_e = jnp.where(valid > 0, (seql - maxerrors).astype(jnp.float32),
+                       float(BIG_RL_THRESHOLD))
 
-    # sound + tight candidate screen (see module docstring):
-    #   ov  = overlap length at this shift
-    #   tau = min(minoverlap, rl, seql) -- covers modes A/B (ov >= mo)
-    #         and containment C/D (ov == min(rl, seql)) exactly
-    ov = jnp.minimum(rl + dm, ovc)                           # [TB, TQ] i32
-    tau = jnp.minimum(rlmo, seql)
-    cand = (ov - matches <= maxerrors) & (ov >= tau)
+    # sound candidate screen, 5 elementwise ops (see module docstring):
+    #   cand' = matches >= max(ov, tau) - e
+    #         = matches >= max(min(rl + dm - e, ovc - e),
+    #                          min(rl, mo, seql) - e)
+    # with ov = min(rl + dm, ovc) and tau = min(mo, rl, seql).  The
+    # exact predicate is (ov - matches <= e) & (ov >= tau); since
+    # ov >= tau implies max(ov, tau) = ov, cand' is a superset -- the
+    # extra band (ov < tau, matches >= tau - e <= ov) needs >= (tau-e)
+    # matching bases inside an overlap shorter than tau, vanishing for
+    # real data -- and every flagged read is re-scored exactly outside
+    # the kernel, so output bits are unchanged.
+    ov_e = jnp.minimum(rl.astype(jnp.float32) + dm_e, ovc_e)
+    tau_e = jnp.minimum(rlmo_e, seql_e)
+    cand = matches >= jnp.maximum(ov_e, tau_e)
 
     # per-read candidate-column counts for this q block; rows 1..7 zero
     nb = jnp.sum(cand.astype(jnp.int32), axis=1, keepdims=True)  # [TB, 1]
