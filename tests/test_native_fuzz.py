@@ -80,3 +80,81 @@ def test_fuzz_multifile(tmp_path):
     for x, y in zip(b1, b2):
         np.testing.assert_array_equal(x.filepos, y.filepos)
         np.testing.assert_array_equal(x.codes, y.codes)
+
+
+def test_fuzz_adversarial_combined(tmp_path):
+    ''' randomized combination sweep: junk/lowercase bytes inside reads,
+        N-rich reads, lengths up to the 1024 histogram cap, CRLF mixes,
+        mid-record truncation, every worker-thread count, with and
+        without the k-mer sieve -- native and numpy pipelines must agree
+        on candidates, lengths, offsets, codes and statistics '''
+    import random
+
+    from kvarq_tpu.engine.sieve import KmerSieve
+
+    rng = random.Random(20260820)
+    alpha4, alphaN = 'ACGT', 'ACGTN'
+
+    def gen(path, templates, n, crlf_frac, junk_frac):
+        with open(path, 'wb') as f:
+            for i in range(n):
+                if rng.random() < 0.25 and templates:
+                    t = rng.choice(templates)
+                    L = rng.randint(5, min(400, len(t) + 30))
+                    s = (t + ''.join(rng.choice(alpha4)
+                                     for _ in range(400)))[:L]
+                    s = ''.join(c if rng.random() > 0.03
+                                else rng.choice(alpha4) for c in s)
+                else:
+                    L = rng.choice([5, 8, 25, 51, 101, 150, 301, 1024])
+                    a = alphaN if rng.random() < 0.2 else alpha4
+                    s = ''.join(rng.choice(a) for _ in range(L))
+                if rng.random() < junk_frac:
+                    pos = rng.randint(0, len(s) - 1)
+                    s = s[:pos] + rng.choice('acgtXY.-') + s[pos + 1:]
+                q = ''.join(chr(rng.randint(33, 74))
+                            for _ in range(len(s)))
+                eol = b'\r\n' if rng.random() < crlf_frac else b'\n'
+                sep = b'+' if rng.random() < 0.5 else b'+r%d' % i
+                f.write(b'@r%d' % i + eol + s.encode() + eol
+                        + sep + eol + q.encode() + eol)
+
+    def run(path, sieve, Amin, mrl, native_on, nthreads):
+        os.environ['KVARQ_NATIVE'] = '1' if native_on else '0'
+        try:
+            stats = reader.ReaderStats()
+            fps, rls, codes = [], [], []
+            for b in reader.batches([path], Amin, mrl, stats,
+                                    batchsize=512, sieve=sieve,
+                                    nthreads=nthreads):
+                fps.append(b.filepos.copy())
+                rls.append(b.rl.copy())
+                for i in range(len(b)):
+                    codes.append(b.codes[i, :b.rl[i]].tobytes())
+        finally:
+            os.environ.pop('KVARQ_NATIVE')
+        fp = np.concatenate(fps) if fps else np.zeros(0, np.int64)
+        rl = np.concatenate(rls) if rls else np.zeros(0, np.int32)
+        return fp, rl, codes, stats.records_parsed, tuple(stats.rls)
+
+    for trial in range(12):
+        templates = [''.join(rng.choice(alpha4)
+                             for _ in range(rng.randint(26, 200)))
+                     for _ in range(rng.randint(1, 6))]
+        path = str(tmp_path / ('t%d.fastq' % (trial % 2)))
+        gen(path, templates, rng.randint(1, 400),
+            crlf_frac=rng.choice([0.0, 0.3, 1.0]),
+            junk_frac=rng.choice([0.0, 0.05, 0.3]))
+        if rng.random() < 0.3:   # truncate mid-record
+            data = open(path, 'rb').read()
+            open(path, 'wb').write(data[:rng.randint(0, len(data))])
+        Amin = rng.choice([33, 43, 53])
+        mrl = rng.choice([5, 12, 25])
+        me, mo = rng.choice([(0, 12), (1, 20), (2, 25), (3, 30)])
+        sieve = KmerSieve.build(templates, me, mo, mrl) \
+            if rng.random() < 0.8 else None
+        a = run(path, sieve, Amin, mrl, True, rng.choice([1, 2, 8]))
+        b = run(path, sieve, Amin, mrl, False, 1)
+        assert np.array_equal(a[0], b[0]), trial
+        assert np.array_equal(a[1], b[1]), trial
+        assert a[2] == b[2] and a[3] == b[3] and a[4] == b[4], trial
