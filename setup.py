@@ -52,7 +52,22 @@ setup(
     version=read_version(),
     description='TPU-native targeted variant calling from FastQ reads',
     packages=find_packages(include=['kvarq_tpu*', 'kvarq*']),
-    package_data={'': ['../csrc/reader.cpp', '../csrc/_reader.so']},
+    # paths starting ../ land next to the packages in site-packages --
+    # exactly where util.get_root_path() resolves them: the native
+    # reader source+binary (csrc/), the shipped testsuites incl. the
+    # reconstructed MTBC ancestor genome, and the manual (docs/).  The
+    # precompiled XLA executables ship inside the package so a
+    # first-ever scan on a fresh machine starts in seconds.
+    package_data={
+        'kvarq_tpu': ['_precompiled/*-cache'],
+        '': ['../csrc/reader.cpp', '../csrc/_reader.so',
+             '../testsuites/*.md',
+             '../testsuites/MTBC/*.py', '../testsuites/MTBC/*.md',
+             '../testsuites/MTBC/*.bases',
+             '../testsuites/examples/*.py',
+             '../testsuites/examples/*.tsv',
+             '../docs/*.md'],
+    },
     python_requires='>=3.10',
     install_requires=['numpy', 'jax'],
     entry_points={
