@@ -20,17 +20,25 @@ HERE = os.path.abspath(os.path.dirname(__file__))
 
 
 def build_native():
+    ''' same flag cascade as kvarq_tpu.engine.native._build: AVX2
+        baseline (portable across machines a wheel may travel to),
+        libdeflate when available '''
     src = os.path.join(HERE, 'csrc', 'reader.cpp')
     lib = os.path.join(HERE, 'csrc', '_reader.so')
-    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC',
-           '-o', lib, src, '-lz']
-    try:
-        subprocess.run(cmd, check=True, capture_output=True)
-        return True
-    except Exception as e:
-        sys.stderr.write('warning: native reader build failed (%s); '
-                         'the numpy pipeline will be used\n' % e)
-        return False
+    for arch in (['-march=x86-64-v3'], ['-march=native'], []):
+        for extra in (['-DKVARQ_USE_LIBDEFLATE', '-lz', '-ldeflate'],
+                      ['-lz']):
+            cmd = (['g++', '-O3'] + arch
+                   + ['-shared', '-fPIC', '-pthread', '-o', lib, src]
+                   + extra)
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+                return True
+            except Exception:
+                continue
+    sys.stderr.write('warning: native reader build failed; '
+                     'the numpy pipeline will be used\n')
+    return False
 
 
 class BuildWithNative(build_py):
