@@ -219,14 +219,16 @@ def cmd_scan(args):
 # --- batch (corpus) scan ------------------------------------------------------
 
 def cmd_batch(args):
-    ''' scan a whole corpus of FastQ files into ONE merged result json,
-        sharded over every host/chip available -- the first-class
-        replacement for the reference's shell-loop + ``summarize``
-        workflow (reference docs/tutorial.rst:366-374).  Run the SAME
+    ''' scan a whole corpus of FastQ files, sharded over every host/chip
+        available -- the first-class replacement for the reference's
+        shell-loop + ``summarize`` workflow (reference
+        docs/tutorial.rst:366-374).  Default: ONE merged result json (the
+        corpus is treated as shards of a single sample).  With
+        ``--per-sample``: one result json per input sample plus a
+        ``summary.csv``, resumable with ``--resume``.  Run the SAME
         command on every host of a multi-host slice (set
         KVARQ_COORDINATOR / KVARQ_NUM_PROCESSES / KVARQ_PROCESS_ID for
-        manual process setups); each host streams its own file shard and
-        all hosts produce identical merged results. '''
+        manual process setups); each host streams its own file shard. '''
     testsuites = _selected_testsuites(args)
     if not testsuites:
         sys.stderr.write('\n*** you must specify at least one testsuite!'
@@ -246,6 +248,9 @@ def cmd_batch(args):
                   Azero=fastq0.Azero,
                   minreadlength=args.readlength,
                   minoverlap=args.overlap)
+    if args.per_sample:
+        _batch_per_sample(args, testsuites)
+        return
     if not args.force:
         _refuse_overwrite(args.json)
 
@@ -315,6 +320,100 @@ def cmd_batch(args):
     else:
         lo.info('process %d: results identical to process 0; not writing'
                 % pid)
+
+
+def _batch_per_sample(args, testsuites):
+    ''' one result json per input sample (the reference's per-genome
+        workflow), work sharded across hosts by file size.  Checkpointed:
+        every json is written atomically (tmp + rename) and ``--resume``
+        skips samples whose output already decodes as a kvarq result, so
+        an interrupted hundreds-of-genomes batch re-runs from where it
+        stopped -- which the reference's shell loop
+        (docs/tutorial.rst:366-374) only got by hand-pruning the list.
+        Process 0 finishes by summarizing all result files into
+        ``summary.csv`` (same table as ``kvarq summarize``). '''
+    from kvarq_tpu.parallel import multihost
+
+    outdir = args.json
+    pid, nproc = multihost.initialize()
+    os.makedirs(outdir, exist_ok=True)
+
+    if getattr(args, 'no_paired', False):
+        files, paireds = list(args.fastq), [False] * len(args.fastq)
+    else:
+        # merge X_1/X_2 neighbors into single paired scans
+        from kvarq_tpu.gui.simple import pair_fastqs
+        files, paireds = pair_fastqs(list(args.fastq))
+
+    def out_path(fname):
+        base = os.path.basename(fname)
+        for suffix in ('.fastq.gz', '.fastq'):
+            if base.endswith(suffix):
+                base = base[:-len(suffix)]
+                break
+        return os.path.join(outdir, base + '.json')
+
+    def is_done(path):
+        try:
+            with open(path, encoding='utf-8') as fd:
+                return json.load(fd)['info']['format'] == 'kvarq'
+        except (OSError, ValueError, KeyError):
+            return False
+
+    if not args.force and not args.resume:
+        for fname in files:
+            _refuse_overwrite(out_path(fname))
+
+    mine = set(multihost.shard_files(files, pid, nproc))
+    lo.info('batch scan: %d sample(s), %d assigned to process %d/%d'
+            % (len(files), len(mine), pid, nproc))
+    failed, scanned, resumed = [], 0, 0
+    for fname, is_paired in zip(files, paireds):
+        if fname not in mine:
+            continue
+        out = out_path(fname)
+        if args.resume and is_done(out):
+            resumed += 1
+            continue
+        started = time.time()
+        try:
+            fastq = Fastq(fname, variant=args.variant, paired=is_paired)
+            engine.config(Amin=fastq.Q2A(args.quality), Azero=fastq.Azero)
+            analyser = analyse.Analyser()
+            analyser.spacing = args.spacing
+            analyser.scan(fastq, testsuites,
+                          do_reverse=not args.no_reverse, keep_hits=False)
+        except FastqFileFormatException as e:
+            lo.error('skipping %s : %s' % (fname, str(e)))
+            failed.append(fname)
+            continue
+        analyser.update_testsuites()
+        tmp = out + '.tmp'
+        _write_result(analyser.encode(), tmp)
+        os.replace(tmp, out)
+        scanned += 1
+        lo.info('%s: %d records in %.3fs -> %s'
+                % (fname, analyser.stats['records_parsed'],
+                   time.time() - started, out))
+
+    lo.info('process %d/%d: scanned %d sample(s), resumed past %d, '
+            '%d failed' % (pid, nproc, scanned, resumed, len(failed)))
+
+    # every host must finish its shard before process 0 summarizes
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices('kvarq-batch-per-sample')
+    if pid == 0:
+        summary = JsonSummary()
+        for fname in files:
+            if is_done(out_path(fname)):
+                summary.add(out_path(fname))
+        spath = os.path.join(outdir, 'summary.csv')
+        with open(spath, 'w', encoding='utf-8', newline='') as fd:
+            summary.dump(fd)
+        lo.info('summary: %s' % spath)
+    if failed:
+        sys.exit(ERROR_FASTQ_FORMAT_ERROR)
 
 
 # --- other commands ---------------------------------------------------------
@@ -548,12 +647,24 @@ _COMMANDS = [
     ]),
 
     ('batch', dict(
-        help='scan a corpus of .fastq files into ONE merged result .json, '
-             'sharded over all hosts and chips (kvarq_tpu extension: '
-             'first-class replacement for looping "kvarq scan" in a shell '
-             'and merging with "summarize")'),
+        help='scan a corpus of .fastq files, sharded over all hosts and '
+             'chips: ONE merged result .json by default, or one .json per '
+             'sample plus summary.csv with --per-sample (kvarq_tpu '
+             'extension: first-class replacement for looping "kvarq scan" '
+             'in a shell and merging with "summarize")'),
      cmd_batch, [
         *_testsuite_selection_args(),
+        _arg('--per-sample', action='store_true',
+             help='treat every input as a separate sample: write one '
+                  'result .json per sample (plus summary.csv) into the '
+                  'JSON output *directory* instead of one merged result'),
+        _arg('--resume', action='store_true',
+             help='with --per-sample: skip samples whose result .json '
+                  'already exists and is valid (restart an interrupted '
+                  'batch where it stopped)'),
+        _arg('-P', '--no-paired', action='store_true',
+             help='with --per-sample: do not merge X_1/X_2 .fastq '
+                  'neighbors into single paired scans'),
         _arg('-t', '--threads', action='store', type=int,
              default=default_config['threads'],
              help='number of reader threads per host (default: %d)'

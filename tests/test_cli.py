@@ -293,6 +293,56 @@ def test_batch(tmp_path):
 
 
 @needs_genome
+def test_batch_per_sample(tmp_path):
+    ''' `kvarq batch --per-sample` writes one result json per sample into
+        a directory plus summary.csv; outputs equal a plain `kvarq scan`
+        of the same file; `--resume` restarts an interrupted batch without
+        redoing completed samples (and redoes corrupt ones) '''
+    import json
+    lo.setLevel(logging.WARNING)
+    try:
+        outdir = str(tmp_path / 'results')
+        main(['batch', '--per-sample', '-l', 'MTBC/phylo',
+              MTBC_fastq1, MTBC_fastq2, outdir])
+        j1 = os.path.join(outdir, 'L3_N1014_hits_5k.json')
+        j2 = os.path.join(outdir, 'N0116_1_hits_1k.json')
+        d1 = json.load(open(j1))
+        d2 = json.load(open(j2))
+        assert d1['info']['format'] == 'kvarq'
+        assert 'MTBC/phylo' in d1['analyses']
+        csv_text = open(os.path.join(outdir, 'summary.csv')).read()
+        assert 'L3_N1014_hits_5k' in csv_text
+        assert 'N0116_1_hits_1k' in csv_text
+
+        # per-sample result equals a plain `kvarq scan` of the same file
+        jref = str(tmp_path / 'ref.json')
+        main(['scan', '-l', 'MTBC/phylo', '-f', '-P', MTBC_fastq2, jref])
+        ref = json.load(open(jref))
+        assert d2['analyses'] == ref['analyses']
+        assert d2['coverages'] == ref['coverages']
+        assert d2['stats']['nseqhits'] == ref['stats']['nseqhits']
+
+        # without --resume/-f existing outputs refuse to be overwritten
+        main(['batch', '--per-sample', '-l', 'MTBC/phylo',
+              MTBC_fastq2, outdir], err=kvarq_tpu.cli.ERROR_FILE_EXISTS)
+
+        # --resume skips completed samples: outputs untouched...
+        before = os.path.getmtime(j2)
+        main(['batch', '--per-sample', '--resume', '-l', 'MTBC/phylo',
+              MTBC_fastq1, MTBC_fastq2, outdir])
+        assert os.path.getmtime(j2) == before
+
+        # ...but redoes a corrupt/partial one
+        with open(j1, 'w') as fd:
+            fd.write('{not json')
+        main(['batch', '--per-sample', '--resume', '-l', 'MTBC/phylo',
+              MTBC_fastq1, MTBC_fastq2, outdir])
+        assert json.load(open(j1))['info']['format'] == 'kvarq'
+    finally:
+        lo.setLevel(logging.INFO)
+
+
+@needs_genome
 def test_scan_profile(tmp_path):
     ''' --profile persists a per-phase wall-time breakdown into
         info.phases (and, with a DIR, a JAX profiler trace); without the
