@@ -91,7 +91,12 @@ struct Stream {
     std::vector<uint8_t> zin;   // compressed input buffer
     size_t zin_pos = 0, zin_len = 0;
     int64_t fsize = 0;          // on-disk size
-    volatile int64_t compressed_read = 0;  // single writer at any time
+    // written by the decode thread, read by the consumer's progress
+    // estimate: access only through the __atomic builtins (relaxed --
+    // it feeds a monotone size estimate, no ordering required).  A
+    // std::atomic member would delete Stream's move constructor, which
+    // the streams vector needs.
+    int64_t compressed_read = 0;
     int64_t produced = 0;       // decompressed bytes yielded
     // background whole-file libdeflate decode (small gz files): once
     // ready, decompressed bytes are served from `bg->dec` instead of
@@ -162,17 +167,16 @@ struct BgzfDecode {
 // parse one BGZF member header at `off` (via pread) and extract the
 // total block size from the BC extra subfield; returns false when the
 // bytes there are not a BGZF block
-bool bgzf_block_at(int fd, int64_t fsize, int64_t off, int32_t* csize,
-                   int32_t* isize) {
-    uint8_t hdr[12];
-    if (off + 28 > fsize) return false;   // minimal BGZF block is 28 bytes
-    if (pread(fd, hdr, 12, off) != 12) return false;
-    if (hdr[0] != 0x1f || hdr[1] != 0x8b || hdr[2] != 8) return false;
-    if (!(hdr[3] & 4)) return false;      // FEXTRA required
-    int xlen = hdr[10] | (hdr[11] << 8);
-    if (xlen < 6 || xlen > 4096) return false;
-    uint8_t extra[4096];
-    if (pread(fd, extra, xlen, off + 12) != xlen) return false;
+// parse one BGZF member header + ISIZE tail from memory; `b` points at
+// the block start and must hold the whole member (csize <= 64 KiB + 1)
+bool bgzf_block_mem(const uint8_t* b, int64_t avail, int32_t* csize,
+                    int32_t* isize) {
+    if (avail < 28) return false;         // minimal BGZF block is 28 bytes
+    if (b[0] != 0x1f || b[1] != 0x8b || b[2] != 8) return false;
+    if (!(b[3] & 4)) return false;        // FEXTRA required
+    int xlen = b[10] | (b[11] << 8);
+    if (xlen < 6 || xlen > 4096 || 12 + xlen > avail) return false;
+    const uint8_t* extra = b + 12;
     int bsize = -1;
     for (int p = 0; p + 4 <= xlen; ) {
         int slen = extra[p + 2] | (extra[p + 3] << 8);
@@ -185,9 +189,8 @@ bool bgzf_block_at(int fd, int64_t fsize, int64_t off, int32_t* csize,
     }
     if (bsize < 0) return false;
     *csize = bsize + 1;
-    if (off + *csize > fsize || *csize < 28) return false;
-    uint8_t tail[4];
-    if (pread(fd, tail, 4, off + *csize - 4) != 4) return false;
+    if (*csize > avail || *csize < 28) return false;
+    const uint8_t* tail = b + *csize - 4;
     uint32_t is = (uint32_t)tail[0] | ((uint32_t)tail[1] << 8)
                 | ((uint32_t)tail[2] << 16) | ((uint32_t)tail[3] << 24);
     if (is > 65536) return false;         // BGZF spec bound
@@ -202,12 +205,31 @@ bool bgzf_probe(const std::string& fname, int64_t fsize,
                 std::vector<BgzfBlock>* blocks, int64_t* total) {
     int fd = ::open(fname.c_str(), O_RDONLY);
     if (fd < 0) return false;
+    // one buffered sequential pass: a 10 GB BGZF file has ~160k blocks,
+    // and 3 pread syscalls per block at open time added seconds of dead
+    // time before the first byte was served
+    constexpr size_t BUFSZ = 4 << 20;     // >> max member size (64 KiB)
+    std::vector<uint8_t> buf(BUFSZ);
+    int64_t bstart = 0;
+    int64_t blen = 0;
     int64_t off = 0;
     *total = 0;
     bool ok = true;
     while (off < fsize) {
+        int64_t need = fsize - off;   // whole next member, or what's left
+        if (need > 65537) need = 65537;
+        if (off + need > bstart + blen) {
+            bstart = off;
+            int64_t want = fsize - off;
+            if (want > (int64_t)BUFSZ) want = BUFSZ;
+            blen = pread(fd, buf.data(), (size_t)want, off);
+            if (blen < want) { ok = false; break; }
+        }
         int32_t csize = 0, isize = 0;
-        if (!bgzf_block_at(fd, fsize, off, &csize, &isize)) {
+        int64_t avail = bstart + blen - off;
+        if (avail > 65537) avail = 65537;
+        if (!bgzf_block_mem(buf.data() + (off - bstart), avail,
+                            &csize, &isize)) {
             ok = false;
             break;
         }
@@ -305,6 +327,9 @@ struct Reader {
     int64_t rls[MAX_READLENGTH] = {};
     volatile int64_t rls_longest = -1;
     std::vector<int64_t> est;   // per-file size estimate
+    // read length that did not fit the caller's row stride; kvq_next
+    // returned -2 and resumes once the caller re-calls with bigger rows
+    int pending_rl = 0;
 
     std::string error;
     uint8_t code_of[256];
@@ -406,7 +431,9 @@ void ring_zlib_main(Stream* s) {
                 s->zin_len = std::fread(s->zin.data(), 1, s->zin.size(),
                                         s->f);
                 s->zin_pos = 0;
-                s->compressed_read += (int64_t)s->zin_len;
+                __atomic_fetch_add(&s->compressed_read,
+                                   (int64_t)s->zin_len,
+                                   __ATOMIC_RELAXED);
                 if (s->zin_len == 0) { at_end = true; break; }
             }
             s->zs.next_in = s->zin.data() + s->zin_pos;
@@ -504,6 +531,10 @@ bool open_stream(Stream& s, std::string* err, int nthreads) {
                     if (nthr > 8) nthr = 8;
                     const char* bt = std::getenv("KVARQ_BGZF_THREADS");
                     if (bt && bt[0]) nthr = std::atoi(bt);
+                    // at least one worker or bgzf_read waits forever on
+                    // a block nobody will publish; cap the fan-out too
+                    if (nthr < 1) nthr = 1;
+                    if (nthr > 64) nthr = 64;
                     for (int i = 0; i < nthr; i++)
                         s.bgzf->thrs.emplace_back(bgzf_worker_main, s.bgzf);
                     return true;
@@ -634,7 +665,8 @@ long bgzf_read(Stream& s, uint8_t* out, size_t want, std::string* err) {
         }
     }
     s.produced += (int64_t)got;
-    s.compressed_read = s.fsize;   // exact size is known; est is exact
+    // exact size is known; est is exact
+    __atomic_store_n(&s.compressed_read, s.fsize, __ATOMIC_RELAXED);
     return (long)got;
 }
 #endif
@@ -644,7 +676,8 @@ long stream_read(Stream& s, uint8_t* out, size_t want, std::string* err) {
     if (!s.is_gz) {
         size_t n = std::fread(out, 1, want, s.f);
         s.produced += (long)n;
-        s.compressed_read += (long)n;
+        __atomic_fetch_add(&s.compressed_read, (int64_t)n,
+                           __ATOMIC_RELAXED);
         return (long)n;
     }
 #ifdef KVARQ_USE_LIBDEFLATE
@@ -657,7 +690,8 @@ long stream_read(Stream& s, uint8_t* out, size_t want, std::string* err) {
         s.bg_serving = true;
         s.known_total = (int64_t)s.bg->dec.size();
         abandon_ring(s);
-        s.compressed_read = s.fsize;
+        __atomic_store_n(&s.compressed_read, s.fsize,
+                         __ATOMIC_RELAXED);
     }
     if (s.bg_serving) {
         const std::vector<uint8_t>& dec = s.bg->dec;
@@ -733,7 +767,9 @@ void refine_est(Reader* r, size_t si) {
         update_total(r);
         return;
     }
-    double frac = (double)s.compressed_read / (double)s.fsize;
+    double frac = (double)__atomic_load_n(&s.compressed_read,
+                                          __ATOMIC_RELAXED)
+                  / (double)s.fsize;
     if (frac > 1.0) frac = 1.0;
     if (frac > 1e-9) {
         int64_t e = (int64_t)((double)s.produced / frac);
@@ -923,6 +959,11 @@ bool sieve_candidate_base5(const Reader* r, const uint8_t* rp, int rl) {
 bool sieve_candidate_fast(const Reader* r, const uint8_t* rp, int rl) {
     const int k = r->sieve_k;
     const uint32_t mask2 = r->sieve_mask2;
+    // the packed window list holds MAX_READLENGTH entries and every
+    // window of the read may flag; longer reads take the rolling
+    // formulation (identical candidate set, no per-window buffers)
+    if (rl - k + 1 > MAX_READLENGTH)
+        return sieve_candidate_base5(r, rp, rl);
 
     // phase 1: packed window list of presence hits (and rare N-windows,
     // which carry their own base-5 presence check in phase 2)
@@ -1250,8 +1291,13 @@ long next_threaded(Reader* r, long cap, long lmax, uint8_t* raw,
         while (out < cap && r->cur_i < it->cands.size()) {
             const CandRec& c = it->cands[r->cur_i];
             if (c.rl > lmax) {
-                r->error = "read longer than buffer stride";
-                return -1;
+                // stride too small: deliver what is packed so far; the
+                // caller grows its buffers (kvq_pending_rl) and calls
+                // again -- the candidate is not consumed, and its
+                // stats were already merged with its work item
+                r->pending_rl = c.rl;
+                *batch_maxrl = maxrl;
+                return out > 0 ? out : -2;
             }
             uint8_t* rrow = raw + out * lmax;
             uint8_t* crow = codes + out * lmax;
@@ -1402,6 +1448,11 @@ void kvq_set_sieve(Reader* r, const int32_t* start, const int32_t* gpos,
     }
 }
 
+// read length behind the last -2 return from kvq_next (see there)
+long kvq_pending_rl(Reader* r) {
+    return r->pending_rl;
+}
+
 void kvq_stats(Reader* r, int64_t* records_parsed, int64_t* parsed,
                int64_t* total, int64_t* rls_longest, int64_t* rls) {
     *records_parsed = r->records_parsed;
@@ -1412,8 +1463,9 @@ void kvq_stats(Reader* r, int64_t* records_parsed, int64_t* parsed,
 }
 
 // Fill up to `cap` records into the caller's buffers (stride = lmax bytes
-// per row for raw/codes).  Reads longer than lmax are an error (lmax
-// should be MAX_READLENGTH).  Returns #records (0 = EOF), -1 = error.
+// per row for raw/codes).  Returns #records (0 = EOF), -1 = error, or
+// -2 = a read is longer than lmax: query kvq_pending_rl, grow the
+// buffers and call again (nothing was consumed or double-counted).
 long kvq_next(Reader* r, long cap, long lmax, uint8_t* raw, uint8_t* codes,
               int32_t* rl_out, int64_t* filepos, int32_t* batch_maxrl) {
     if (r->nthreads > 1) {
@@ -1465,6 +1517,16 @@ long kvq_next(Reader* r, long cap, long lmax, uint8_t* raw, uint8_t* codes,
                                 r->rls, &rls_longest, &rl, &bs, &r->error);
         r->rls_longest = rls_longest;
         if (ret < 0) return -1;
+        if (ret > 0 && rl > lmax) {
+            // stride too small: un-count the histogram entry (the
+            // record is fully re-parsed after the caller grows its
+            // buffers via kvq_pending_rl) and leave buf_pos on it
+            int hrl = rl < MAX_READLENGTH ? rl : MAX_READLENGTH - 1;
+            r->rls[hrl]--;
+            r->pending_rl = rl;
+            *batch_maxrl = maxrl;
+            return out > 0 ? out : -2;
+        }
         r->records_parsed = r->records_parsed + 1;
         if (ret > 0) {
             uint8_t* rrow = raw + out * lmax;

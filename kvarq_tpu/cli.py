@@ -260,13 +260,7 @@ def cmd_batch(args):
     from kvarq_tpu.engine.tensor_scan import fold_into_coverage
     from kvarq_tpu.parallel import multihost
 
-    kwargs = {}
-    if os.environ.get('KVARQ_COORDINATOR'):
-        kwargs = dict(
-            coordinator_address=os.environ['KVARQ_COORDINATOR'],
-            num_processes=int(os.environ['KVARQ_NUM_PROCESSES']),
-            process_id=int(os.environ['KVARQ_PROCESS_ID']))
-    pid, nproc = multihost.initialize(**kwargs)
+    pid, nproc = multihost.initialize()   # picks up KVARQ_COORDINATOR etc.
     lo.info('batch scan: %d files over %d process(es) / %d device(s)'
             % (len(args.fastq), nproc, len(jax.devices())))
 
@@ -338,40 +332,54 @@ def _batch_per_sample(args, testsuites):
     pid, nproc = multihost.initialize()
     os.makedirs(outdir, exist_ok=True)
 
+    # names pair_fastqs/Fastq cannot handle fail cleanly up front (the
+    # rest of the batch still runs; exit code reports the failures)
+    failed = [f for f in args.fastq
+              if '.fastq' not in os.path.basename(f)]
+    for fname in failed:
+        lo.error('skipping %s : not a .fastq[.gz] file' % fname)
+    inputs = [f for f in args.fastq if '.fastq' in os.path.basename(f)]
+
     if getattr(args, 'no_paired', False):
-        files, paireds = list(args.fastq), [False] * len(args.fastq)
+        files, paireds = inputs, [False] * len(inputs)
     else:
         # merge X_1/X_2 neighbors into single paired scans
         from kvarq_tpu.gui.simple import pair_fastqs
-        files, paireds = pair_fastqs(list(args.fastq))
+        files, paireds = pair_fastqs(inputs)
 
-    def out_path(fname):
+    # one output per sample, keyed by basename; same-named files from
+    # different directories get deterministic _2/_3... suffixes
+    seen = {}
+    outs = []
+    for fname in files:
         base = os.path.basename(fname)
         for suffix in ('.fastq.gz', '.fastq'):
             if base.endswith(suffix):
                 base = base[:-len(suffix)]
                 break
-        return os.path.join(outdir, base + '.json')
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        outs.append(os.path.join(
+            outdir, base + ('' if n == 0 else '_%d' % (n + 1)) + '.json'))
 
     def is_done(path):
         try:
             with open(path, encoding='utf-8') as fd:
                 return json.load(fd)['info']['format'] == 'kvarq'
-        except (OSError, ValueError, KeyError):
+        except (OSError, ValueError, KeyError, TypeError):
             return False
 
     if not args.force and not args.resume:
-        for fname in files:
-            _refuse_overwrite(out_path(fname))
+        for out in outs:
+            _refuse_overwrite(out)
 
     mine = set(multihost.shard_files(files, pid, nproc))
     lo.info('batch scan: %d sample(s), %d assigned to process %d/%d'
             % (len(files), len(mine), pid, nproc))
-    failed, scanned, resumed = [], 0, 0
-    for fname, is_paired in zip(files, paireds):
+    scanned, resumed = 0, 0
+    for fname, is_paired, out in zip(files, paireds, outs):
         if fname not in mine:
             continue
-        out = out_path(fname)
         if args.resume and is_done(out):
             resumed += 1
             continue
@@ -405,9 +413,9 @@ def _batch_per_sample(args, testsuites):
         multihost_utils.sync_global_devices('kvarq-batch-per-sample')
     if pid == 0:
         summary = JsonSummary()
-        for fname in files:
-            if is_done(out_path(fname)):
-                summary.add(out_path(fname))
+        for out in outs:
+            if is_done(out):
+                summary.add(out)
         spath = os.path.join(outdir, 'summary.csv')
         with open(spath, 'w', encoding='utf-8', newline='') as fd:
             summary.dump(fd)

@@ -25,25 +25,45 @@ HERE = os.path.abspath(os.path.dirname(__file__))
 CSRC = os.path.join(os.path.dirname(os.path.dirname(HERE)), 'csrc')
 SRC = os.path.join(CSRC, 'reader.cpp')
 LIB = os.path.join(CSRC, '_reader.so')
+# pre-AVX2 hosts get their own build: the default (possibly shipped
+# prebuilt) _reader.so targets x86-64-v3 and would SIGILL there
+LIB_COMPAT = os.path.join(CSRC, '_reader_compat.so')
 
 MAX_READLENGTH = reader.MAX_READLENGTH
+
+
+def _cpu_supports_v3():
+    ''' does this CPU run x86-64-v3 (AVX2) code?  Linux: /proc/cpuinfo
+        flags; elsewhere assume yes (non-x86 never gets here: the g++
+        -march variants fail over to the generic build) '''
+    try:
+        with open('/proc/cpuinfo') as fd:
+            for line in fd:
+                if line.startswith('flags'):
+                    return ' avx2' in line
+    except OSError:
+        pass
+    return True
 
 _lock = threading.Lock()
 _lib = None
 _lib_failed = False
 
 
-def _build():
+def _build(lib_path, generic=False):
     # x86-64-v3 (AVX2 baseline) rather than -march=native: measured
     # equal on the hot loops (the SIMD paths are explicit AVX2
     # intrinsics), and the binary stays runnable on any post-2015
     # x86-64 -- a native-arch build can SIGILL when the library travels
-    # to an older machine (e.g. inside a wheel)
+    # to an older machine (e.g. inside a wheel).  ``generic`` drops the
+    # arch flags entirely (pre-AVX2 hosts; the intrinsics are
+    # __AVX2__-guarded with scalar fallbacks)
     def variants():
-        for arch in (['-march=x86-64-v3', '-mtune=native'],
-                     ['-march=native'], []):
+        archs = [[]] if generic else \
+            [['-march=x86-64-v3', '-mtune=native'], ['-march=native'], []]
+        for arch in archs:
             base = ['g++', '-O3'] + arch + \
-                ['-shared', '-fPIC', '-pthread', '-o', LIB, SRC]
+                ['-shared', '-fPIC', '-pthread', '-o', lib_path, SRC]
             # libdeflate (~3x zlib inflate) accelerates the gz producer
             # pipeline when present; plain zlib otherwise
             yield base + ['-DKVARQ_USE_LIBDEFLATE', '-lz', '-ldeflate']
@@ -70,10 +90,12 @@ def get_lib():
             _lib_failed = True
             return None
         try:
-            if (not os.path.exists(LIB)
-                    or os.path.getmtime(LIB) < os.path.getmtime(SRC)):
-                _build()
-            lib = ctypes.CDLL(LIB)
+            generic = not _cpu_supports_v3()
+            lib_path = LIB_COMPAT if generic else LIB
+            if (not os.path.exists(lib_path)
+                    or os.path.getmtime(lib_path) < os.path.getmtime(SRC)):
+                _build(lib_path, generic)
+            lib = ctypes.CDLL(lib_path)
         except Exception as e:
             lo.warning('native reader unavailable (%s); '
                        'falling back to numpy pipeline' % e)
@@ -107,6 +129,8 @@ def get_lib():
             np.ctypeslib.ndpointer(np.int32, flags='C'),
             np.ctypeslib.ndpointer(np.int64, flags='C'),
             ctypes.POINTER(ctypes.c_int32)]
+        lib.kvq_pending_rl.restype = ctypes.c_long
+        lib.kvq_pending_rl.argtypes = [ctypes.c_void_p]
         lib.kvq_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
@@ -164,22 +188,28 @@ def batches(fnames, Amin, minreadlength, stats, batchsize=16384,
         stats.rls[:] = rls_buf
 
     # buffers are reused across batches (yielded arrays are copies) --
-    # fresh allocations would pay one soft page fault per written row
-    raw = np.empty((batchsize, MAX_READLENGTH), dtype=np.uint8)
-    codes = np.empty((batchsize, MAX_READLENGTH), dtype=np.uint8)
+    # fresh allocations would pay one soft page fault per written row.
+    # The stride grows on demand when a read exceeds it (long-read
+    # FastQs; kvq_next returns -2 without consuming anything)
+    stride = MAX_READLENGTH
+    raw = np.zeros((batchsize, stride), dtype=np.uint8)
+    codes = np.zeros((batchsize, stride), dtype=np.uint8)
     rl = np.empty(batchsize, dtype=np.int32)
     fp = np.empty(batchsize, dtype=np.int64)
-    raw[:] = 0
-    codes[:] = 0
 
     try:
         while True:
             if stop_check is not None and stop_check():
                 break
             maxrl = ctypes.c_int32()
-            n = lib.kvq_next(h, batchsize, MAX_READLENGTH, raw, codes,
+            n = lib.kvq_next(h, batchsize, stride, raw, codes,
                              rl, fp, ctypes.byref(maxrl))
             sync_stats()
+            if n == -2:
+                stride = reader._round_up(int(lib.kvq_pending_rl(h)))
+                raw = np.zeros((batchsize, stride), dtype=np.uint8)
+                codes = np.zeros((batchsize, stride), dtype=np.uint8)
+                continue
             if n < 0:
                 raise reader.FastqFormatError(
                     lib.kvq_error(h).decode())

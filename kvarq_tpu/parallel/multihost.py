@@ -41,8 +41,16 @@ def initialize(**kwargs):
     ''' bring up jax.distributed (no-op when already initialized or
         single-process).  On TPU pods coordinator/process counts are
         auto-detected; kwargs pass through for manual setups
-        (coordinator_address=, num_processes=, process_id=). '''
+        (coordinator_address=, num_processes=, process_id=), or set the
+        KVARQ_COORDINATOR / KVARQ_NUM_PROCESSES / KVARQ_PROCESS_ID
+        environment variables (picked up by every caller). '''
+    import os
     import jax
+    if not kwargs and os.environ.get('KVARQ_COORDINATOR'):
+        kwargs = dict(
+            coordinator_address=os.environ['KVARQ_COORDINATOR'],
+            num_processes=int(os.environ['KVARQ_NUM_PROCESSES']),
+            process_id=int(os.environ['KVARQ_PROCESS_ID']))
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError) as e:   # already initialized / 1 proc

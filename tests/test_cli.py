@@ -338,6 +338,26 @@ def test_batch_per_sample(tmp_path):
         main(['batch', '--per-sample', '--resume', '-l', 'MTBC/phylo',
               MTBC_fastq1, MTBC_fastq2, outdir])
         assert json.load(open(j1))['info']['format'] == 'kvarq'
+
+        # a non-fastq input fails cleanly; the rest of the batch runs
+        out2 = str(tmp_path / 'r2')
+        main(['batch', '--per-sample', '-l', 'MTBC/phylo',
+              MTBC_fastq2, 'nope.txt', out2],
+             err=kvarq_tpu.cli.ERROR_FASTQ_FORMAT_ERROR)
+        assert os.path.exists(os.path.join(out2, 'N0116_1_hits_1k.json'))
+
+        # same basename from two directories: _2 suffix, no overwrite
+        import shutil
+        dupdir = tmp_path / 'dup'
+        dupdir.mkdir()
+        dup = str(dupdir / os.path.basename(MTBC_fastq2))
+        shutil.copy(MTBC_fastq2, dup)
+        out3 = str(tmp_path / 'r3')
+        main(['batch', '--per-sample', '-l', 'MTBC/phylo',
+              MTBC_fastq2, dup, out3])
+        assert os.path.exists(os.path.join(out3, 'N0116_1_hits_1k.json'))
+        assert os.path.exists(
+            os.path.join(out3, 'N0116_1_hits_1k_2.json'))
     finally:
         lo.setLevel(logging.INFO)
 

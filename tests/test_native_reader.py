@@ -264,3 +264,51 @@ def test_threaded_error_parity(tmp_path):
         list(native.batches([str(bad)], ord('!'), 1,
                             reader.ReaderStats(), 16, nthreads=2))
     assert str(e1.value) == str(e2.value)
+
+
+def test_long_reads(tmp_path):
+    ''' reads longer than the 1024-byte default row stride: the native
+        pipeline grows its buffers on demand (kvq_next -2 protocol)
+        instead of erroring, with read-stream and stats parity vs numpy
+        in every thread mode; with the sieve on, a long all-'N' read
+        must neither overflow the per-window buffers (regression) nor
+        pass, and a template planted deep inside a 1500 bp read must '''
+    from kvarq_tpu.engine.sieve import KmerSieve
+
+    rng = np.random.RandomState(7)
+    tmpl = ''.join('ACGT'[i] for i in rng.randint(4, size=51))
+    r_bg = ''.join('ACGT'[i] for i in rng.randint(4, size=1500))
+    r_hit = r_bg[:700] + tmpl + r_bg[700 + 51:]
+    reads = [('r0', 'ACGT' * 20), ('r1', r_bg), ('r2', r_hit),
+             ('r3', 'N' * 2000), ('r4', 'ACGT' * 10)]
+    path = tmp_path / 'long.fastq'
+    with open(path, 'w') as fd:
+        for name, seq in reads:
+            fd.write('@%s\n%s\n+\n%s\n' % (name, seq, 'I' * len(seq)))
+
+    def flatten(batches):
+        return [(int(r), int(p), bytes(raw[:r]))
+                for b in batches
+                for r, p, raw in zip(b.rl, b.filepos, b.raw)]
+
+    for use_sieve in (False, True):
+        sieve = KmerSieve.build([tmpl], 2, 25, 25) if use_sieve else None
+        s2 = reader.ReaderStats()
+        os.environ['KVARQ_NATIVE'] = '0'
+        try:
+            want = flatten(reader.batches([str(path)], ord('!'), 25, s2,
+                                          4, sieve=sieve))
+        finally:
+            os.environ.pop('KVARQ_NATIVE')
+        for nthreads in (1, 4):
+            s1 = reader.ReaderStats()
+            got = flatten(native.batches([str(path)], ord('!'), 25, s1,
+                                         4, sieve=sieve,
+                                         nthreads=nthreads))
+            assert got == want, (use_sieve, nthreads)
+            assert s1.records_parsed == s2.records_parsed == len(reads)
+            assert s1.rls_longest == s2.rls_longest == 2000
+            np.testing.assert_array_equal(s1.rls, s2.rls)
+        if use_sieve:
+            # the planted read passed; the all-N / background ones did not
+            assert [r for r, _, _ in want] == [1500]
