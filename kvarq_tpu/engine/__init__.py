@@ -29,7 +29,7 @@ import threading
 import numpy as np
 
 from kvarq_tpu.log import lo
-from kvarq_tpu.engine import hitmodel, reader
+from kvarq_tpu.engine import encode, hitmodel, reader
 
 Hit = collections.namedtuple(
     'Hit', 'seq_nr file_pos seq_pos length readlength')
@@ -235,8 +235,13 @@ def findseqs(fname, seqs):
         _seqbasehits = np.zeros(_nseqs, dtype=np.int64)
         _stats = reader.ReaderStats()
 
-        matcher = _make_matcher(seqs, _extra_config['backend']) \
-            if seqs else None
+        backend = _extra_config['backend']
+        if backend == 'auto' and seqs and _small_scan_eligible(fnames):
+            # small input, cold device: numpy finishes before the
+            # accelerator would even answer (see _small_scan_eligible)
+            lo.debug('small input: scanning via the numpy matcher')
+            backend = 'numpy'
+        matcher = _make_matcher(seqs, backend) if seqs else None
         sieve = _make_sieve(seqs) if seqs else None
         seqlens = [len(s) for s in seqs]
         mo = _config['minoverlap']
@@ -266,6 +271,66 @@ def findseqs(fname, seqs):
         }
     finally:
         _running = False
+
+
+def _jax_device_ready():
+    ''' True iff this process already initialized a JAX backend (so device
+        dispatch is warm and cheap); False before first use -- without
+        triggering that (expensive) initialization itself '''
+    import sys
+    if 'jax' not in sys.modules:
+        return False
+    try:
+        from jax._src import xla_bridge
+        return bool(xla_bridge._backends)
+    except Exception:
+        return False
+
+
+# inputs smaller than this (decompressed-size estimate) scan through the
+# byte-exact numpy hit path instead of spinning up the accelerator: on
+# remote/cold TPU attachments the first device contact costs seconds,
+# which dwarfs a numpy scan of a few thousand reads.  The reference's
+# precompiled C engine starts instantly on such files (setup.py:31-35);
+# this keeps that UX.  0 disables the heuristic; it never engages when a
+# backend was explicitly selected, a mesh is requested, or the process
+# already has a live JAX backend (warm dispatch beats numpy).
+SMALL_SCAN_BYTES = int(os.environ.get('KVARQ_SMALL_SCAN', '4000000'))
+
+
+def _small_scan_eligible(fnames):
+    if SMALL_SCAN_BYTES <= 0:
+        return False
+    if _extra_config['backend'] != 'auto':
+        return False
+    if os.environ.get('KVARQ_TENSOR_BACKEND', 'auto') not in ('', 'auto'):
+        return False
+    if str(_extra_config['mesh'] or '').strip().lower() \
+            not in ('', 'off', '0', 'no', 'none'):
+        return False
+    if _jax_device_ready():
+        return False
+    try:
+        total = sum(os.path.getsize(f) * (3 if f.endswith('.gz') else 1)
+                    for f in fnames)
+    except OSError:
+        return False
+    return total < SMALL_SCAN_BYTES
+
+
+def _basecounts_from_hits(hits, hitseqs, seqs):
+    ''' per-template [5, S] base counts in scanned-strand coordinates from
+        a hit list -- the exact quantity the tensorized path accumulates
+        on device (junk read bytes fold into the N channel; identical for
+        valid AGCTN reads) '''
+    counts = [np.zeros((encode.NBASE, len(s)), np.int64) for s in seqs]
+    for hit, hitseq in zip(hits, hitseqs):
+        start = max(0, hit.seq_pos)
+        codes = encode.encode_read(hitseq.encode('latin-1'))
+        np.add.at(counts[hit.seq_nr],
+                  (np.minimum(codes, encode.NBASE - 1),
+                   start + np.arange(len(codes))), 1)
+    return counts
 
 
 def countseqs(fname, seqs):
@@ -300,6 +365,31 @@ def countseqs(fname, seqs):
         _seqhits = np.zeros(_nseqs, dtype=np.int64)
         _seqbasehits = np.zeros(_nseqs, dtype=np.int64)
         _stats = reader.ReaderStats()
+
+        if seqs and _small_scan_eligible(fnames):
+            # small input, cold device: the numpy hit path finishes before
+            # the accelerator would even answer (see _small_scan_eligible)
+            lo.debug('small input: scanning via the numpy hit path')
+            matcher = _make_matcher(seqs, 'numpy')
+            sieve = _make_sieve(seqs)
+            seqlens = [len(s) for s in seqs]
+            hits, hitseqs = [], []
+            try:
+                for batch in reader.prefetch(reader.batches(
+                        fnames, ord(_config['Amin']),
+                        _config['minreadlength'], _stats,
+                        batchsize=_extra_config['batchsize'],
+                        stop_check=lambda: _stop, sieve=sieve,
+                        nthreads=_config['nthreads'])):
+                    triplets = matcher.match_batch(batch)
+                    _emit(triplets, batch, seqlens, _config['minoverlap'],
+                          hits, hitseqs)
+            except reader.FastqFormatError as e:
+                raise FastqFileFormatException(str(e))
+            return {
+                'basecounts': _basecounts_from_hits(hits, hitseqs, seqs),
+                'stats': stats(),
+            }
 
         scanner = _make_scanner(seqs) if seqs else None
         sieve = _make_sieve(seqs) if seqs else None

@@ -9,6 +9,11 @@ if 'xla_force_host_platform_device_count' not in xla_flags:
     os.environ['XLA_FLAGS'] = (
         xla_flags + ' --xla_force_host_platform_device_count=8').strip()
 
+# the small-input numpy fast path would hide the tensor-scan code from
+# every fixture-sized countseqs test; disable it suite-wide (the path has
+# its own dedicated parity test that re-enables it)
+os.environ.setdefault('KVARQ_SMALL_SCAN', '0')
+
 if os.environ.get('KVARQ_TEST_TPU') != '1':
     # The environment may pin JAX_PLATFORMS (e.g. to a tunneled TPU) via
     # sitecustomize, so plain env vars are not enough -- force the CPU

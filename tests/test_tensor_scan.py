@@ -65,6 +65,37 @@ def test_countseqs_matches_findseqs(maxerrors, minoverlap, minreadlength,
     assert ret['stats'] == ref_stats
 
 
+def test_small_scan_fast_path(monkeypatch):
+    ''' the small-input numpy fast path of countseqs (engaged for tiny
+        files on cold devices, disabled suite-wide in conftest) must
+        return basecounts/stats identical to the tensorized path '''
+    fname = os.path.join(FASTQS, 'test_engine.fastq')
+    plus = ['CACCGGTGTAGGCAAGTCGTAACAAGG', 'TTTTTTTTTTGGGGGGGGGG',
+            'CCCC', 'CCC']
+    seqs = plus + [_revcomp(s) for s in plus]
+
+    engine.config(maxerrors=1, minoverlap=10, minreadlength=5, Amin='#')
+    ref = engine.countseqs(fname, seqs)            # tensor path (conftest)
+
+    monkeypatch.setattr(engine, 'SMALL_SCAN_BYTES', 10 ** 9)
+    monkeypatch.setattr(engine, '_jax_device_ready', lambda: False)
+    assert engine._small_scan_eligible([fname])
+    engine.config(maxerrors=1, minoverlap=10, minreadlength=5, Amin='#')
+    got = engine.countseqs(fname, seqs)            # numpy fast path
+
+    assert got['stats'] == ref['stats']
+    for r, g in zip(ref['basecounts'], got['basecounts']):
+        assert np.array_equal(np.asarray(r, np.int64),
+                              np.asarray(g, np.int64))
+
+    # never engages with an explicit backend selection or a mesh
+    engine.config(backend='numpy')
+    assert not engine._small_scan_eligible([fname])
+    engine.config(backend='auto', mesh='auto')
+    assert not engine._small_scan_eligible([fname])
+    engine.config(mesh='')
+
+
 def test_analyser_tensorized_parity():
     ''' full-stack: Analyser.scan(keep_hits=False) == hit path on the
         crafted fixture with real testsuites (exercises minus-strand
