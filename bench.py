@@ -36,6 +36,10 @@ import numpy as np
 HERE = os.path.abspath(os.path.dirname(__file__))
 sys.path.insert(0, HERE)
 
+# the bench measures the device scan path; never let the small-input
+# numpy fast path absorb the (small) warmup scan
+os.environ.setdefault('KVARQ_SMALL_SCAN', '0')
+
 # reference-equivalent C scanner (tools/ref_bench.c), 8 threads, same
 # data/config, measured on this machine -- identical hit counts to the
 # TPU engine (see BASELINE.md "measured" table)
