@@ -273,10 +273,17 @@ def findseqs(fname, seqs):
         _running = False
 
 
+_jax_probe_failed = False
+
+
 def _jax_device_ready():
     ''' True iff this process already initialized a JAX backend (so device
         dispatch is warm and cheap); False before first use -- without
-        triggering that (expensive) initialization itself '''
+        triggering that (expensive) initialization itself.  Relies on
+        jax._src.xla_bridge internals (there is no public "initialized but
+        don't initialize" probe); if that introspection ever breaks on a
+        newer JAX, warn once instead of silently always scanning via numpy '''
+    global _jax_probe_failed
     import sys
     if 'jax' not in sys.modules:
         return False
@@ -284,6 +291,11 @@ def _jax_device_ready():
         from jax._src import xla_bridge
         return bool(xla_bridge._backends)
     except Exception:
+        if not _jax_probe_failed:
+            _jax_probe_failed = True
+            lo.warning('cannot probe JAX backend state on this JAX version; '
+                       'small-scan fast path assumes a cold device '
+                       '(set KVARQ_SMALL_SCAN=0 to disable)')
         return False
 
 
@@ -298,12 +310,15 @@ def _jax_device_ready():
 SMALL_SCAN_BYTES = int(os.environ.get('KVARQ_SMALL_SCAN', '4000000'))
 
 
-def _small_scan_eligible(fnames):
+def _small_scan_eligible(fnames, tensor_path=False):
     if SMALL_SCAN_BYTES <= 0:
         return False
     if _extra_config['backend'] != 'auto':
         return False
-    if os.environ.get('KVARQ_TENSOR_BACKEND', 'auto') not in ('', 'auto'):
+    if tensor_path and os.environ.get(
+            'KVARQ_TENSOR_BACKEND', 'auto') not in ('', 'auto'):
+        # KVARQ_TENSOR_BACKEND only selects the countseqs coverage-scan
+        # backend; it must not veto the findseqs hit path
         return False
     if str(_extra_config['mesh'] or '').strip().lower() \
             not in ('', 'off', '0', 'no', 'none'):
@@ -311,8 +326,19 @@ def _small_scan_eligible(fnames):
     if _jax_device_ready():
         return False
     try:
-        total = sum(os.path.getsize(f) * (3 if f.endswith('.gz') else 1)
-                    for f in fnames)
+        # size estimate: gzip detected by magic bytes (not suffix, so
+        # .bgz/.bgzf inputs are seen too); FastQ commonly compresses
+        # 4-10x, so use a conservative 8x for the eligibility decision
+        # (the reader's 3x at workhorse.c:624-626 is a *progress*
+        # estimate, refined while reading -- this one must not let a
+        # tens-of-MB decompressed input sneak into the numpy path)
+        total = 0
+        for f in fnames:
+            size = os.path.getsize(f)
+            with open(f, 'rb') as fd:
+                if fd.read(2) == b'\x1f\x8b':
+                    size *= 8
+            total += size
     except OSError:
         return False
     return total < SMALL_SCAN_BYTES
@@ -321,15 +347,15 @@ def _small_scan_eligible(fnames):
 def _basecounts_from_hits(hits, hitseqs, seqs):
     ''' per-template [5, S] base counts in scanned-strand coordinates from
         a hit list -- the exact quantity the tensorized path accumulates
-        on device (junk read bytes fold into the N channel; identical for
-        valid AGCTN reads) '''
+        on device (non-AGCTN read bytes are dropped, matching the device
+        path's 5-channel one-hot; see kvarq_tpu.engine.encode) '''
     counts = [np.zeros((encode.NBASE, len(s)), np.int64) for s in seqs]
     for hit, hitseq in zip(hits, hitseqs):
         start = max(0, hit.seq_pos)
         codes = encode.encode_read(hitseq.encode('latin-1'))
-        np.add.at(counts[hit.seq_nr],
-                  (np.minimum(codes, encode.NBASE - 1),
-                   start + np.arange(len(codes))), 1)
+        pos = start + np.arange(len(codes))
+        valid = codes < encode.NBASE
+        np.add.at(counts[hit.seq_nr], (codes[valid], pos[valid]), 1)
     return counts
 
 
@@ -366,7 +392,7 @@ def countseqs(fname, seqs):
         _seqbasehits = np.zeros(_nseqs, dtype=np.int64)
         _stats = reader.ReaderStats()
 
-        if seqs and _small_scan_eligible(fnames):
+        if seqs and _small_scan_eligible(fnames, tensor_path=True):
             # small input, cold device: the numpy hit path finishes before
             # the accelerator would even answer (see _small_scan_eligible)
             lo.debug('small input: scanning via the numpy hit path')

@@ -41,5 +41,8 @@ def reset_engine_config():
     from kvarq_tpu import engine
     engine.config(maxerrors=0, minoverlap=20, minreadlength=10,
                   nthreads=1, Amin='!', Azero='!',
-                  mesh=os.environ.get('KVARQ_MESH', ''))
+                  mesh=os.environ.get('KVARQ_MESH', ''),
+                  backend=os.environ.get('KVARQ_BACKEND', 'auto'),
+                  sieve=os.environ.get('KVARQ_SIEVE', 'auto'),
+                  batchsize=int(os.environ.get('KVARQ_BATCHSIZE', '16384')))
     yield
