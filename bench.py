@@ -16,7 +16,11 @@ reference hot loop (csrc/workhorse.c:976-1197) measured on this machine's
 CPU -- see BASELINE.md "measured" table.
 
 Env knobs: KVARQ_BENCH_READS (default 2000000), KVARQ_BENCH_READLEN (101),
-KVARQ_BENCH_WARMUP (1), KVARQ_BENCH_RUNS (3).
+KVARQ_BENCH_WARMUP (1), KVARQ_BENCH_RUNS (5), KVARQ_DRYRUN_REAL (1: also
+run the mesh-sharded scan path on the real device and gate it against the
+numpy oracle), KVARQ_BENCH_STRICT (with KVARQ_BENCH_FLOOR, default 250:
+exit non-zero if the best run falls below FLOOR x baseline -- the CI
+regression gate).
 
 The default corpus is 2M reads (~430 MB FastQ): real targeted-sequencing
 runs are multi-GB, and at this size the scan reaches steady state --
@@ -157,6 +161,35 @@ def assert_device_matches_oracle(device_ret, path, seqs):
           % (total, len(seqs)), file=sys.stderr)
 
 
+def sharded_dryrun_gate(wpath, seqs):
+    ''' scan the warmup prefix through ShardedScanner on a real-device
+        1x1 mesh (pallas, interpret=False, check_vma=True) and gate the
+        result against the numpy oracle '''
+    import jax
+    from kvarq_tpu.parallel import make_mesh, ShardedScanner
+    from kvarq_tpu.engine import reader
+
+    t0 = time.time()
+    mesh = make_mesh(1, 1, jax.devices()[:1])
+    scanner = ShardedScanner(seqs, maxerrors=2, minoverlap=25, mesh=mesh)
+    stats = reader.ReaderStats()
+    for batch in reader.prefetch(reader.batches(
+            [wpath], 33 + 13, 25, stats, batchsize=16384, nthreads=2)):
+        scanner.scan_batch(batch)
+    scanner.finalize()
+    ret = {
+        'basecounts': [bc.astype(np.int64) for bc in scanner.coverages()],
+        'stats': {
+            'nseqhits': tuple(int(x) for x in scanner.seqhits),
+            'nseqbasehits': tuple(int(x) for x in scanner.seqbasehits),
+            'records_parsed': int(stats.records_parsed),
+        },
+    }
+    print('sharded (mesh) scan on real device: %.1fs, backend=%s'
+          % (time.time() - t0, scanner.backend), file=sys.stderr)
+    assert_device_matches_oracle(ret, wpath, seqs)
+
+
 def main():
     from kvarq_tpu import engine
 
@@ -182,6 +215,7 @@ def main():
     engine.config(maxerrors=2, minoverlap=25, minreadlength=25,
                   nthreads=8, Amin=chr(33 + 13))  # CLI defaults (config.py)
 
+    admission_s = None
     if int(os.environ.get('KVARQ_BENCH_WARMUP', '1')):
         # warm the jit caches on a small prefix so compile time is excluded
         wpath = bench_path('warmup')
@@ -215,9 +249,9 @@ def main():
             import jax.numpy as jnp
             t0 = time.time()
             float(np.asarray(jnp.arange(8.0).sum()))
+            admission_s = time.time() - t0
             print('first device contact (attachment admission, '
-                  'environmental): %.1fs' % (time.time() - t0),
-                  file=sys.stderr)
+                  'environmental): %.1fs' % admission_s, file=sys.stderr)
         except Exception:
             pass
         t0 = time.time()
@@ -234,11 +268,20 @@ def main():
         # must fail the bench, not ship a wrong perf number
         assert_device_matches_oracle(warm, wpath, seqs)
 
-    # peak over a few runs: wall-clock on the shared TPU attachment
-    # varies ~2x with external load, and peak is the honest measure of
-    # what the pipeline sustains when not preempted
-    runs = int(os.environ.get('KVARQ_BENCH_RUNS', '3'))
-    rps = 0.0
+        if int(os.environ.get('KVARQ_DRYRUN_REAL', '1')):
+            # the mesh-sharded scan path (shard_map + psum + pallas,
+            # interpret=False, check_vma=True) must ALSO run on the real
+            # device and reproduce the oracle -- the standing multi-chip
+            # hardware gate (1x1 mesh; topology is validated on the
+            # virtual CPU mesh and the driver dryrun)
+            sharded_dryrun_gate(wpath, seqs)
+
+    # per-run wall-clock on the shared TPU attachment varies ~2x with
+    # external load; report the median of KVARQ_BENCH_RUNS runs as the
+    # headline with full dispersion alongside (BENCH schema carries
+    # every run), so round-over-round deltas are interpretable
+    runs = int(os.environ.get('KVARQ_BENCH_RUNS', '5'))
+    samples = []
     for _ in range(max(1, runs)):
         t0 = time.time()
         ret = engine.countseqs(path, seqs)
@@ -247,14 +290,35 @@ def main():
         nhits = int(np.asarray(ret['stats']['nseqhits']).sum())
         print('scanned %d records in %.2fs (%d template hits)'
               % (nrec, dt, nhits), file=sys.stderr)
-        rps = max(rps, nrec / dt)
+        samples.append(nrec / dt)
 
+    samples.sort()
+    rps = float(np.median(samples))
+    peak = samples[-1]
     print(json.dumps({
         'metric': 'scan_reads_per_s',
         'value': round(rps, 1),
         'unit': 'reads/s',
         'vs_baseline': round(rps / BASELINE_READS_PER_S, 2),
+        'runs': [round(s, 1) for s in samples],
+        'peak': round(peak, 1),
+        'peak_vs_baseline': round(peak / BASELINE_READS_PER_S, 2),
+        'spread_pct': round(100.0 * (samples[-1] - samples[0])
+                            / max(rps, 1e-9), 1),
+        'admission_s': round(admission_s, 1) if admission_s else None,
     }))
+
+    # CI regression floor: gate on the best run (resilient to shared-
+    # tunnel load, which can halve individual runs through no fault of
+    # the code); strict mode turns a breach into a non-zero exit
+    floor = float(os.environ.get('KVARQ_BENCH_FLOOR', '250'))
+    if peak < floor * BASELINE_READS_PER_S:
+        msg = ('REGRESSION: best run %.0f reads/s is below the %.0fx '
+               'baseline floor (%.0f reads/s)'
+               % (peak, floor, floor * BASELINE_READS_PER_S))
+        print(msg, file=sys.stderr)
+        if int(os.environ.get('KVARQ_BENCH_STRICT', '0')):
+            raise SystemExit(2)
 
 
 if __name__ == '__main__':

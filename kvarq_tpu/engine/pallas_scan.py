@@ -200,12 +200,19 @@ def _cand_kernel(maxerrors, minoverlap,
 
 @functools.lru_cache(maxsize=None)
 def match_cand_call(Lpad, Qp, B, maxerrors, minoverlap,
-                    TB=DEF_TB, TQ=DEF_TQ, interpret=False, nch=encode.NBASE):
+                    TB=DEF_TB, TQ=DEF_TQ, interpret=False, nch=encode.NBASE,
+                    vma=None):
     '''
     :returns: jit-able ``f(read_flat [B, Lpad*nch] bf16, rl2d [B, 128] i32,
         K [Lpad*nch, Qp] bf16, qmeta [8, Qp] i32) -> hitpart [8*nQ, B]
         i32`` where ``hitpart.sum(axis=0)[b] > 0`` iff read b is a
-        candidate (a sound superset of the reads with any hit)
+        candidate (a sound superset of the reads with any hit).
+
+    ``vma`` (a tuple of mesh axis names, or None) declares which mesh
+    axes the output varies over when the call runs inside a
+    ``shard_map(check_vma=True)`` region (kvarq_tpu.parallel) -- pallas
+    outputs carry no inferred varying-mesh-axes annotation, so it must
+    be stated explicitly.
     '''
     import jax
     from jax.experimental import pallas as pl
@@ -237,12 +244,14 @@ def match_cand_call(Lpad, Qp, B, maxerrors, minoverlap,
 
     def call(read_flat, rl2d, K, qmeta):
         import jax.numpy as jnp
+        out_sds = (jax.ShapeDtypeStruct((8 * nQ, B), jnp.int32)
+                   if vma is None else
+                   jax.ShapeDtypeStruct((8 * nQ, B), jnp.int32,
+                                        vma=frozenset(vma)))
         (hitpart,) = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((8 * nQ, B), jnp.int32),
-            ],
+            out_shape=[out_sds],
             cost_estimate=pl.CostEstimate(
                 flops=2 * B * L5 * Qp,
                 bytes_accessed=(B * L5 * 2) * nQ + L5 * Qp * 2,
@@ -301,7 +310,7 @@ def scan_step(Lpad, bank, T, maxerrors, minoverlap, B,
 
 def scan_step_banked(Lpad, G, Qp, T, maxerrors, minoverlap, B,
                      gather_k=1024, interpret=False, TB=DEF_TB,
-                     TQ=DEF_TQ, nch=encode.NBASE):
+                     TQ=DEF_TQ, nch=encode.NBASE, vma=None):
     '''
     bank-agnostic variant of :py:func:`scan_step`: all bank data (K,
     qmeta, tseg) are runtime arguments, so the same traced program can
@@ -317,7 +326,7 @@ def scan_step_banked(Lpad, G, Qp, T, maxerrors, minoverlap, B,
     Bp = max(_ceil_to(B, TB), TB)
 
     kcall = match_cand_call(Lpad, Qp, Bp, maxerrors, minoverlap,
-                            TB, TQ, interpret, nch)
+                            TB, TQ, interpret, nch, vma)
     gather_k = min(gather_k, Bp)
 
     def fold(RTw):

@@ -193,13 +193,37 @@ def sharded_scan_step_pallas(mesh, Lpad, G, Qp, T, maxerrors, minoverlap,
     from jax.sharding import PartitionSpec as P
     from kvarq_tpu.engine import pallas_scan
 
+    # check_vma: ON for compiled (real-device) runs -- the pallas output
+    # declares vma=('data','bank') at its pallas_call (match_cand_call)
+    # and all inputs are pvary'd to the joint vma below, so shard_map can
+    # verify the psum collectives.  In *interpret* mode the pallas HLO
+    # interpreter evaluates the discharged kernel jaxpr with plain
+    # eval_jaxpr, where block values carrying vma meet literal operands
+    # without it ("Primitive gt requires varying manual axes to match"),
+    # so the check must stay off there (CPU tests only; the real-hardware
+    # path is fully checked).
+    check_vma = not interpret
     inner = pallas_scan.scan_step_banked(
         Lpad, G, Qp, T, maxerrors, minoverlap, B_local,
         gather_k=min(512, B_local), interpret=interpret,
         TB=TB or pallas_scan.DEF_TB, TQ=TQ or pallas_scan.DEF_TQ,
-        nch=nch)
+        nch=nch, vma=('data', 'bank') if check_vma else None)
 
     def shard_fn(codes, rl, K, qmeta, tseg):
+        if check_vma:
+            # the kernel mixes 'data'-varying reads with 'bank'-varying
+            # bank arrays; cast everything to the joint vma
+            pvary = getattr(lax, 'pcast', None)
+            if pvary is not None:
+                codes = pvary(codes, 'bank', to='varying')
+                rl = pvary(rl, 'bank', to='varying')
+                K, qmeta, tseg = (pvary(x, 'data', to='varying')
+                                  for x in (K, qmeta, tseg))
+            else:
+                codes = lax.pvary(codes, 'bank')
+                rl = lax.pvary(rl, 'bank')
+                K, qmeta, tseg = (lax.pvary(x, 'data')
+                                  for x in (K, qmeta, tseg))
         basecount, seqhits, seqbasehits = inner(
             codes, rl, K[0], qmeta[0], tseg[0])
         basecount = lax.psum(basecount, 'data')
@@ -211,8 +235,7 @@ def sharded_scan_step_pallas(mesh, Lpad, G, Qp, T, maxerrors, minoverlap,
         shard_fn, mesh=mesh,
         in_specs=(P('data'), P('data'), P('bank'), P('bank'), P('bank')),
         out_specs=(P('bank'), P(), P()),
-        # pallas_call outputs carry no varying-mesh-axes annotation
-        check_vma=False)
+        check_vma=check_vma)
     return jax.jit(mapped)
 
 

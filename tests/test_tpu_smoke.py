@@ -50,6 +50,50 @@ def test_device_matches_oracle(tmp_path):
 
 
 @needs_tpu
+def test_sharded_pallas_on_hardware(tmp_path):
+    ''' ShardedScanner (pallas, interpret=False, check_vma=True) on a
+        real-device 1x1 mesh is bit-equal to the numpy oracle -- the
+        standing gate for the multi-chip code path on actual TPU
+        hardware (single chip; the N-chip topology is validated on the
+        virtual CPU mesh and the driver dryrun) '''
+    import jax
+    assert jax.default_backend() != 'cpu'
+
+    import bench
+    from kvarq_tpu import engine
+    from kvarq_tpu.parallel import make_mesh, ShardedScanner
+    from kvarq_tpu.engine import reader
+
+    path, seqs = _synthetic_case(tmp_path)
+    engine.config(maxerrors=2, minoverlap=25, minreadlength=25,
+                  nthreads=2, Amin=chr(33 + 13))
+
+    mesh = make_mesh(1, 1, jax.devices()[:1])
+    scanner = ShardedScanner(seqs, maxerrors=2, minoverlap=25, mesh=mesh,
+                             backend='pallas')
+    assert scanner.backend == 'pallas'
+    stats = reader.ReaderStats()
+    for batch in reader.prefetch(reader.batches(
+            [path], ord(chr(33 + 13)), 25, stats, batchsize=16384,
+            nthreads=2)):
+        scanner.scan_batch(batch)
+    scanner.finalize()
+    ret = {
+        'basecounts': [bc.astype(np.int64) for bc in scanner.coverages()],
+        'stats': {
+            'nseqhits': tuple(int(x) for x in scanner.seqhits),
+            'nseqbasehits': tuple(int(x) for x in scanner.seqbasehits),
+            'readlengths': tuple(
+                int(x) for x in stats.rls[:stats.rls_longest + 1]),
+            'records_parsed': int(stats.records_parsed),
+        },
+    }
+    assert int(scanner.seqhits.sum()) > 0
+    # raises SystemExit on any divergence from the numpy oracle
+    bench.assert_device_matches_oracle(ret, path, seqs)
+
+
+@needs_tpu
 def test_findseqs_backends_agree(tmp_path):
     ''' pallas hit-list path == numpy hit list on device hardware '''
     from kvarq_tpu import engine

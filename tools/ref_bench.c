@@ -16,10 +16,20 @@
  *    under a mutex (:408-443)
  *
  * Usage: ref_bench <fastq> <templates.txt> <amin> <maxerrors> <minoverlap>
- *                  <minreadlength> <nthreads>
+ *                  <minreadlength> <nthreads> [hitdump]
  * templates.txt: one template per line (plus strands then minus strands,
  * exactly the list the Python engine scans).
  * Prints: records, hits, seconds, reads/s.
+ *
+ * With the optional 8th argument, every hit is also written to <hitdump>
+ * as a text line "seq_nr file_pos seq_pos length readlength" with the
+ * reference Hit-tuple semantics (workhorse.c:1575-1596: file_pos = global
+ * offset of the trimmed read in the decompressed data, seq_pos places the
+ * read relative to the template) in the reference's single-threaded
+ * enumeration order (record, template, mode A desc / B desc / C-or-D asc,
+ * including the B/D border duplicate).  Requires nthreads=1 so stream
+ * order is deterministic; used by tools/hitdiff.py to diff the full hit
+ * stream byte-for-byte against engine.findseqs.
  */
 
 #include <pthread.h>
@@ -43,16 +53,20 @@ static long total_records = 0, total_hits = 0;
 
 static char leftover[SCANBUFSIZE];
 static size_t leftover_len = 0;
+static long stream_base = 0;   /* global offset of the next chunk's buf[0] */
+static FILE *dumpf = NULL;     /* hit-tuple dump (nthreads=1 only) */
 
 /* pull a record-aligned chunk from the shared stream (fastq_read /
- * fastq_rewind semantics: scan backwards for a record boundary) */
-static long read_chunk(char *buf) {
+ * fastq_rewind semantics: scan backwards for a record boundary);
+ * *base_out receives the chunk's global file offset */
+static long read_chunk(char *buf, long *base_out) {
     pthread_mutex_lock(&read_mutex);
     memcpy(buf, leftover, leftover_len);
     size_t have = leftover_len;
     size_t n = fread(buf + have, 1, SCANBUFSIZE - have, stream);
     have += n;
     leftover_len = 0;
+    *base_out = stream_base;
     if (n > 0 && have == SCANBUFSIZE) {
         /* rewind to the last "\n@" preceded by a full record */
         size_t i = have - 1;
@@ -73,12 +87,19 @@ static long read_chunk(char *buf) {
             i--;
         }
     }
+    stream_base += (long)have;
     pthread_mutex_unlock(&read_mutex);
     return (long)have;
 }
 
-/* the reference's 4-mode exhaustive match (workhorse.c:1107-1174) */
-static long match_read(const char *read, int rl) {
+static void dump_hit(int t, long fpos, int spos, int length, int rl) {
+    if (dumpf)
+        fprintf(dumpf, "%d %ld %d %d %d\n", t, fpos, spos, length, rl);
+}
+
+/* the reference's 4-mode exhaustive match (workhorse.c:1107-1174);
+ * fpos = global offset of the trimmed read (for the hit dump) */
+static long match_read(const char *read, int rl, long fpos) {
     long hits = 0;
     for (int t = 0; t < ntemplates; t++) {
         const char *seq = templates[t];
@@ -91,14 +112,14 @@ static long match_read(const char *read, int rl) {
                 e = 0;
                 for (j = 0; j < rl - i; j++)
                     if (read[i + j] != seq[j] && ++e > maxerrors) break;
-                if (e <= maxerrors) hits++;
+                if (e <= maxerrors) { hits++; dump_hit(t, fpos, -i, rl - i, rl); }
             }
             /* read head over template tail */
             for (i = seql - minoverlap; i >= 1 && seql - i <= rl; i--) {
                 e = 0;
                 for (j = 0; j < seql - i; j++)
                     if (read[j] != seq[i + j] && ++e > maxerrors) break;
-                if (e <= maxerrors) hits++;
+                if (e <= maxerrors) { hits++; dump_hit(t, fpos, i, seql - i, rl); }
             }
         }
         if (rl > seql) {
@@ -107,7 +128,7 @@ static long match_read(const char *read, int rl) {
                 e = 0;
                 for (j = 0; j < seql; j++)
                     if (read[i + j] != seq[j] && ++e > maxerrors) break;
-                if (e <= maxerrors) hits++;
+                if (e <= maxerrors) { hits++; dump_hit(t, fpos, -i, seql, rl); }
             }
         } else {
             /* read fully inside template */
@@ -115,7 +136,7 @@ static long match_read(const char *read, int rl) {
                 e = 0;
                 for (j = 0; j < rl; j++)
                     if (read[j] != seq[i + j] && ++e > maxerrors) break;
-                if (e <= maxerrors) hits++;
+                if (e <= maxerrors) { hits++; dump_hit(t, fpos, i, rl, rl); }
             }
         }
     }
@@ -124,9 +145,9 @@ static long match_read(const char *read, int rl) {
 
 static void *scan_thread(void *arg) {
     char *buf = malloc(SCANBUFSIZE + 1);
-    long records = 0, hits = 0;
+    long records = 0, hits = 0, base = 0;
     for (;;) {
-        long have = read_chunk(buf);
+        long have = read_chunk(buf, &base);
         if (have <= 0) break;
         buf[have] = 0;
 
@@ -161,7 +182,8 @@ static void *scan_thread(void *arg) {
                     run = 0;
             }
             if (best < minreadlength) continue;
-            hits += match_read(l2 + best_off, best);
+            hits += match_read(l2 + best_off, best,
+                               base + (long)(l2 - buf) + best_off);
         }
     }
     free(buf);
@@ -173,10 +195,20 @@ static void *scan_thread(void *arg) {
 }
 
 int main(int argc, char **argv) {
-    if (argc != 8) {
+    if (argc != 8 && argc != 9) {
         fprintf(stderr, "usage: %s fastq templates.txt amin maxerrors "
-                        "minoverlap minreadlength nthreads\n", argv[0]);
+                        "minoverlap minreadlength nthreads [hitdump]\n",
+                argv[0]);
         return 1;
+    }
+    if (argc == 9) {
+        if (atoi(argv[7]) != 1) {
+            fprintf(stderr, "hit dump requires nthreads=1 (deterministic "
+                            "stream order)\n");
+            return 1;
+        }
+        dumpf = fopen(argv[8], "w");
+        if (!dumpf) { perror("hitdump"); return 1; }
     }
     stream = fopen(argv[1], "rb");
     if (!stream) { perror("fastq"); return 1; }
@@ -222,5 +254,6 @@ int main(int argc, char **argv) {
            total_records, total_hits, dt, total_records / dt,
            ntemplates, nthreads);
     fclose(stream);
+    if (dumpf) fclose(dumpf);
     return 0;
 }
