@@ -377,6 +377,22 @@ struct Reader {
     std::vector<int32_t> sieve_seed5;
     bool sieve_has2 = false;
 
+    // dense open-addressed bucket table (k <= 8, small banks): start2 is
+    // 256 KB with only ~26 KB of useful entries scattered one per line,
+    // so every probe pays a poorly-utilized L2 line (measured: the
+    // dominant sieve cost).  Slots are 8 bytes -- {key, count, first
+    // seed inline | overflow offset} -- in a table sized to ~0.4 load
+    // factor, so a probe is ONE well-utilized L2 line and single-seed
+    // buckets (the majority) need no further loads.
+    struct HashSlot {
+        uint16_t key;
+        uint16_t cnt;        // 0 = empty
+        uint32_t payload;    // cnt==1: gpos<<16|tid; else seed2 offset
+    };
+    std::vector<HashSlot> sieve_hash;
+    uint32_t sieve_hash_shift = 0;   // hash = (key * MULT) >> shift
+    static constexpr uint32_t HASH_MULT = 2654435761u;
+
     // worker-thread machinery (nthreads > 1): workers pull record-aligned
     // spans from the shared stream under in_mtx (the reference's
     // fastq_read_mutex pattern, workhorse.c:746) and publish processed
@@ -855,13 +871,52 @@ inline size_t first_below(const uint8_t* q, size_t n, uint8_t amin) {
 
 // per-read seed bookkeeping shared by both sieve implementations;
 // (diag, tid) packed into one u64 key so the dedup scan is one load
-// per entry
+// per entry.  The key list keeps 8 sentinel (~0) slots beyond nseeds so
+// the AVX2 scan can read whole vectors; ~0 is never a real key (tid is
+// a nonnegative int32).
 struct SeedState {
     static constexpr int MAX_SEEDS = 256;
-    uint64_t keys[MAX_SEEDS];
+    alignas(32) uint64_t keys[MAX_SEEDS + 8];
     int16_t counts[MAX_SEEDS];
     int nseeds = 0;
+    SeedState() { for (int i = 0; i < 8; i++) keys[i] = ~0ull; }
 };
+
+// find `key` among the first `n` entries (vectorized); -1 when absent
+static inline int seed_find(const SeedState& ss, uint64_t key) {
+#if defined(__AVX2__)
+    const __m256i vkey = _mm256_set1_epi64x((long long)key);
+    for (int si = 0; si < ss.nseeds; si += 4) {
+        const uint32_t m = (uint32_t)_mm256_movemask_pd(
+            _mm256_castsi256_pd(_mm256_cmpeq_epi64(
+                _mm256_loadu_si256((const __m256i*)(ss.keys + si)),
+                vkey)));
+        if (m) return si + (int)__builtin_ctz(m);
+    }
+    return -1;
+#else
+    for (int s = 0; s < ss.nseeds; s++)
+        if (ss.keys[s] == key) return s;
+    return -1;
+#endif
+}
+
+// stage 3: exact overlap check of the read against template `tid` at
+// diagonal `diag` -- 1 = hit possible (keep read), 0 = too many
+// mismatches, -1 = overlap shorter than m (dead diagonal)
+inline int sieve_verify(const Reader* r, const uint8_t* rp, int rl,
+                        int32_t diag, int32_t tid) {
+    int64_t lo2 = r->sieve_tstart[tid];
+    if (diag > lo2) lo2 = diag;
+    int64_t hi2 = r->sieve_tstop[tid];
+    if (diag + rl < hi2) hi2 = diag + rl;
+    if (hi2 - lo2 < r->sieve_m) return -1;
+    int mism = 0;
+    for (int64_t g2 = lo2; g2 < hi2; g2++)
+        if (r->sieve_bank[g2] != r->code_of[rp[g2 - diag]]
+            && ++mism > r->sieve_e) return 0;
+    return 1;
+}
 
 // stages 2 + 3 over the bank entries [jlo, jhi) of one read window at
 // `wpos`: collect seeds per (diagonal, template); at exactly t seeds run
@@ -876,36 +931,79 @@ inline bool sieve_stage2(const Reader* r, const uint8_t* rp, int rl,
         const int32_t tid = seeds[2 * j + 1];
         const uint64_t key = ((uint64_t)(uint32_t)diag << 32)
                            | (uint32_t)tid;
-        int s = 0;
-        for (; s < ss.nseeds; s++)
-            if (ss.keys[s] == key) break;
-        if (s == ss.nseeds) {
+        int s = seed_find(ss, key);
+        if (s < 0) {
             if (ss.nseeds == SeedState::MAX_SEEDS)
                 return true;               // overflow: keep (conservative)
+            s = ss.nseeds;
             ss.keys[s] = key; ss.counts[s] = 0;
+            ss.keys[s + 8] = ~0ull;        // keep the sentinel pad ahead
             ss.nseeds++;
         }
         // stage 2: t seeds on one (diagonal, template)
         if (++ss.counts[s] != t) continue;
-        // stage 3: exact overlap check at this diagonal
-        int64_t lo2 = r->sieve_tstart[tid];
-        if (diag > lo2) lo2 = diag;
-        int64_t hi2 = r->sieve_tstop[tid];
-        if (diag + rl < hi2) hi2 = diag + rl;
-        if (hi2 - lo2 < r->sieve_m) { ss.counts[s] = -32000; continue; }
-        int mism = 0;
-        bool pass = true;
-        for (int64_t g2 = lo2; g2 < hi2; g2++) {
-            if (r->sieve_bank[g2] != r->code_of[rp[g2 - diag]]
-                && ++mism > r->sieve_e) {
-                pass = false;
-                break;
-            }
-        }
-        if (pass) return true;
-        ss.counts[s] = -32000;             // verified dead
+        const int v = sieve_verify(r, rp, rl, diag, tid);
+        if (v > 0) return true;
+        ss.counts[s] = -32000;             // verified dead / overlap < m
     }
     return false;
+}
+
+// seed bookkeeping for one read: the exact SeedState plus, for the
+// common t == 2 configuration, a register/L1-resident 1024-bit bloom
+// filter.  With t == 2 a seed key only matters once it REPEATS, so the
+// hot path per entry is hash + bit test-and-set with no key-list scan;
+// the exact scan runs only on a bloom hit (a real repeat, or a ~n^2/1024
+// collision).  Candidate set identical to sieve_stage2 by construction.
+struct SeedCtx {
+    SeedState ss;
+    uint64_t bloom[16];
+    uint64_t dead[(SeedState::MAX_SEEDS + 63) / 64];
+    explicit SeedCtx(bool t2) {
+        if (t2) {
+            std::memset(bloom, 0, sizeof(bloom));
+            std::memset(dead, 0, sizeof(dead));
+        }
+    }
+};
+
+inline bool sieve_stage2_t2(const Reader* r, const uint8_t* rp, int rl,
+                            int wpos, const int32_t* seeds,
+                            int32_t jlo, int32_t jhi, SeedCtx& sc) {
+    SeedState& ss = sc.ss;
+    for (int32_t j = jlo; j < jhi; j++) {
+        const int32_t diag = seeds[2 * j] - wpos;
+        const int32_t tid = seeds[2 * j + 1];
+        const uint64_t key = ((uint64_t)(uint32_t)diag << 32)
+                           | (uint32_t)tid;
+        const uint32_t h =
+            (uint32_t)((key * 0x9E3779B97F4A7C15ull) >> 54);
+        uint64_t& bw = sc.bloom[h >> 6];
+        const uint64_t bit = 1ull << (h & 63);
+        int s = -1;
+        if (!(bw & bit) || (s = seed_find(ss, key)) < 0) {
+            bw |= bit;                     // definitely unseen: record
+            if (ss.nseeds == SeedState::MAX_SEEDS)
+                return true;               // overflow: keep (conservative)
+            ss.keys[ss.nseeds] = key;
+            ss.keys[ss.nseeds + 8] = ~0ull;
+            ss.nseeds++;
+            continue;
+        }
+        // second seed on this (diagonal, template): verify exactly
+        if (sc.dead[s >> 6] >> (s & 63) & 1) continue;
+        if (sieve_verify(r, rp, rl, diag, tid) > 0) return true;
+        sc.dead[s >> 6] |= 1ull << (s & 63);
+    }
+    return false;
+}
+
+inline bool sieve_seen(const Reader* r, const uint8_t* rp, int rl,
+                       int wpos, const int32_t* seeds, int32_t jlo,
+                       int32_t jhi, SeedCtx& sc) {
+    return r->sieve_t == 2
+        ? sieve_stage2_t2(r, rp, rl, wpos, seeds, jlo, jhi, sc)
+        : sieve_stage2(r, rp, rl, wpos, seeds, jlo, jhi, sc.ss);
 }
 
 // rolling-window implementation over the base-5 index (any k) -- the
@@ -914,15 +1012,20 @@ inline bool sieve_stage2(const Reader* r, const uint8_t* rp, int rl,
 bool sieve_candidate_base5(const Reader* r, const uint8_t* rp, int rl) {
     const int k = r->sieve_k;
     const uint32_t mask2 = r->sieve_mask2;
-    SeedState ss;
-    uint32_t kcode2 = 0;   // rolling 2-bit (ACGT) window code
+    SeedCtx sc(r->sieve_t == 2);
+    uint32_t kcode2 = 0;   // rolling 2-bit window code, window base j at
+                           // bits [2j, 2j+2) (same layout as the packed
+                           // stream in sieve_candidate_fast)
     int krun = 0;          // non-junk run length
     int krun4 = 0;         // ACGT-only run length
     for (int i = 0; i < rl; i++) {
         uint8_t c = r->code_of[rp[i]];
         if (c >= 5) { krun = 0; krun4 = 0; continue; }
-        if (c < 4) { kcode2 = ((kcode2 << 2) | c) & mask2; krun4++; }
-        else { krun4 = 0; }
+        if (c < 4) {
+            kcode2 = ((kcode2 >> 2) | ((uint32_t)c << (2 * (k - 1))))
+                   & mask2;
+            krun4++;
+        } else { krun4 = 0; }
         if (++krun < k) continue;
         // stage 1: presence bit.  N-free windows hit the 4^k-bit map;
         // windows containing N take the base-5 map.
@@ -941,21 +1044,55 @@ bool sieve_candidate_base5(const Reader* r, const uint8_t* rp, int rl) {
                   >> (kcode & 63) & 1))
                 continue;
         }
-        if (sieve_stage2(r, rp, rl, i + 1 - k, r->sieve_seed5.data(),
-                         r->sieve_start[kcode], r->sieve_start[kcode + 1],
-                         ss))
+        if (sieve_seen(r, rp, rl, i + 1 - k, r->sieve_seed5.data(),
+                       r->sieve_start[kcode], r->sieve_start[kcode + 1],
+                       sc))
             return true;
     }
     return false;
 }
 
+#if defined(__AVX2__)
+// 16 presence probes with one 16-lane gather; lane order is preserved
+// end-to-end so bit o of the result is window s+o directly.  Compiled
+// for AVX-512 and dispatched at runtime (the base build targets
+// x86-64-v3).
+__attribute__((target("avx512f,avx512vl,avx512dq,avx512bw")))
+static uint32_t probe16_avx512(uint64_t pk64, const uint64_t* present2,
+                               uint32_t mask2) {
+    const __m512i vpk = _mm512_set1_epi64((long long)pk64);
+    const __m512i a = _mm512_srlv_epi64(
+        vpk, _mm512_setr_epi64(0, 2, 4, 6, 8, 10, 12, 14));
+    const __m512i b = _mm512_srlv_epi64(
+        vpk, _mm512_setr_epi64(16, 18, 20, 22, 24, 26, 28, 30));
+    __m512i keys = _mm512_inserti64x4(
+        _mm512_castsi256_si512(_mm512_cvtepi64_epi32(a)),
+        _mm512_cvtepi64_epi32(b), 1);
+    keys = _mm512_and_si512(keys, _mm512_set1_epi32((int)mask2));
+    const __m512i word = _mm512_i32gather_epi32(
+        _mm512_srli_epi32(keys, 5), (const int*)present2, 4);
+    const __m512i bit = _mm512_srlv_epi32(
+        word, _mm512_and_si512(keys, _mm512_set1_epi32(31)));
+    return (uint32_t)_mm512_test_epi32_mask(bit, _mm512_set1_epi32(1));
+}
+
+static bool cpu_has_avx512() {
+    static const bool ok = __builtin_cpu_supports("avx512vl")
+        && __builtin_cpu_supports("avx512dq")
+        && __builtin_cpu_supports("avx512bw");
+    return ok;
+}
+#endif
+
 // two-phase fast path over the 2-bit secondary index (k <= 11; default
-// k = 8).  Phase 1 is a branchless presence scan -- the ~10%-taken
-// presence branch of the rolling formulation cost ~2 mispredict cycles
-// per BASE -- that packs hit windows into a list; phase 2 prefetches
-// all stage-2 bucket bounds up front (memory-level parallelism instead
-// of serial L2 misses) and then probes them.  Candidate set is
-// identical to sieve_candidate_base5 by construction.
+// k = 8).  Phase 1 packs the read ONCE into a 2-bit base stream (base p
+// at bits [2p, 2p+2)) plus junk/N bitmasks, then derives every window
+// key with a shift+mask from the packed stream -- no serial rolling
+// dependency, no per-base branches; the SIMD packer encodes 32 bases in
+// ~10 instructions (movemask bit-plane extraction + pdep interleave).
+// Phase 2 prefetches all stage-2 bucket bounds up front (memory-level
+// parallelism instead of serial L2 misses) and then probes them.
+// Candidate set is identical to sieve_candidate_base5 by construction.
 bool sieve_candidate_fast(const Reader* r, const uint8_t* rp, int rl) {
     const int k = r->sieve_k;
     const uint32_t mask2 = r->sieve_mask2;
@@ -965,34 +1102,216 @@ bool sieve_candidate_fast(const Reader* r, const uint8_t* rp, int rl) {
     if (rl - k + 1 > MAX_READLENGTH)
         return sieve_candidate_base5(r, rp, rl);
 
-    // phase 1: packed window list of presence hits (and rare N-windows,
-    // which carry their own base-5 presence check in phase 2)
+    // phase 1a: pack 2-bit codes + junk/N masks
+    uint8_t pk[MAX_READLENGTH / 4 + 16];
+    uint8_t jm[MAX_READLENGTH / 8 + 16];
+    uint8_t nm[MAX_READLENGTH / 8 + 16];
+    int i = 0;
+#if defined(__AVX2__) && defined(__BMI2__)
+    // canonical char per low nibble ('\n' where no base maps: it can
+    // never appear inside a line, so the equality test is exact -- only
+    // bytes equal to one of ACGTN validate); 2-bit codes per low nibble
+    // match code_of (A0 C1 G2 T3; N/junk don't-care, masked via nm/jm)
+    const __m256i CANON = _mm256_setr_epi8(
+        '\n', 'A', '\n', 'C', 'T', '\n', '\n', 'G',
+        '\n', '\n', '\n', '\n', '\n', '\n', 'N', '\n',
+        '\n', 'A', '\n', 'C', 'T', '\n', '\n', 'G',
+        '\n', '\n', '\n', '\n', '\n', '\n', 'N', '\n');
+    const __m256i CODE2 = _mm256_setr_epi8(
+        0, 0, 0, 1, 3, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 1, 3, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0);
+    const __m256i LNMASK = _mm256_set1_epi8(0x0F);
+    const __m256i NCH = _mm256_set1_epi8('N');
+    for (; i + 32 <= rl; i += 32) {
+        const __m256i v = _mm256_loadu_si256((const __m256i*)(rp + i));
+        const __m256i ln = _mm256_and_si256(v, LNMASK);
+        const uint32_t valid = (uint32_t)_mm256_movemask_epi8(
+            _mm256_cmpeq_epi8(v, _mm256_shuffle_epi8(CANON, ln)));
+        const __m256i c2 = _mm256_shuffle_epi8(CODE2, ln);
+        const uint32_t b0 = (uint32_t)_mm256_movemask_epi8(
+            _mm256_slli_epi16(c2, 7));
+        const uint32_t b1 = (uint32_t)_mm256_movemask_epi8(
+            _mm256_slli_epi16(c2, 6));
+        uint64_t packed = _pdep_u64(b0, 0x5555555555555555ull)
+                        | _pdep_u64(b1, 0xAAAAAAAAAAAAAAAAull);
+        std::memcpy(pk + (i >> 2), &packed, 8);
+        const uint32_t junk = ~valid;
+        const uint32_t nbits = (uint32_t)_mm256_movemask_epi8(
+            _mm256_cmpeq_epi8(v, NCH));
+        std::memcpy(jm + (i >> 3), &junk, 4);
+        std::memcpy(nm + (i >> 3), &nbits, 4);
+    }
+#endif
+    // zero the tail so the unaligned window loads read defined bytes
+    std::memset(pk + (i >> 2), 0, (size_t)((rl - i + 3) / 4) + 8);
+    std::memset(jm + (i >> 3), 0, (size_t)((rl - i + 7) / 8) + 8);
+    std::memset(nm + (i >> 3), 0, (size_t)((rl - i + 7) / 8) + 8);
+    for (; i < rl; i++) {
+        const uint8_t c = r->code_of[rp[i]];
+        pk[i >> 2] |= (uint8_t)((c & 3) << (2 * (i & 3)));
+        jm[i >> 3] |= (uint8_t)((c >= 5 ? 1 : 0) << (i & 7));
+        nm[i >> 3] |= (uint8_t)((c == 4 ? 1 : 0) << (i & 7));
+    }
+
+    // phase 1b: branchless presence scan over all windows -- key =
+    // 2k bits of the packed stream at bit 2*wpos.  Junk/N window masks
+    // come from OR-smearing the per-base bitmasks over the window width
+    // (4-5 shift-ORs cover 16 windows at once); per window only the key
+    // extraction + presence probe remain, collected into a bitmask so
+    // the (rare) flagged windows append via a ctz loop.
     uint64_t wins[MAX_READLENGTH];
     int nw = 0;
-    uint32_t kcode2 = 0;
-    int krun = 0, krun4 = 0;
-    for (int i = 0; i < rl; i++) {
-        const uint8_t c = r->code_of[rp[i]];
-        const bool junk = c >= 5;
-        const bool isn = c == 4;
-        kcode2 = ((kcode2 << 2) | (c & 3u)) & mask2;
-        krun = junk ? 0 : krun + 1;
-        krun4 = (junk | isn) ? 0 : krun4 + 1;
-        const bool full4 = krun4 >= k;
-        // & not &&: the presence bit is true for ~10% of windows, which
-        // as a short-circuit branch costs ~2 mispredict cycles per base
-        const bool hit2 = full4
-            & (bool)(r->sieve_present2[kcode2 >> 6] >> (kcode2 & 63) & 1);
-        const bool hitn = (krun >= k) & !full4;   // window contains N
-        wins[nw] = ((uint64_t)hitn << 63)
-                 | ((uint64_t)(uint32_t)(i + 1 - k) << 32) | kcode2;
-        nw += (int)(hit2 | hitn);
+    const uint64_t* present2 = r->sieve_present2.data();
+    const int W = rl - k;            // last window start
+    for (int s = 0; s <= W; s += 16) {
+        uint64_t pk64, jm64, nm64;   // s % 16 == 0: bit offsets are 0
+        std::memcpy(&pk64, pk + (s >> 2), 8);
+        std::memcpy(&jm64, jm + (s >> 3), 8);
+        std::memcpy(&nm64, nm + (s >> 3), 8);
+        // OR-smear width k: bit o = OR of bits o..o+k-1 (doubling
+        // shifts, final shift sized so coverage stays contiguous)
+        uint64_t sj = jm64 | (jm64 >> 1);
+        uint64_t sn = nm64 | (nm64 >> 1);
+        sj |= sj >> 2; sn |= sn >> 2;
+        if (k > 8) {
+            sj |= sj >> 4; sn |= sn >> 4;
+            sj |= sj >> (k - 8); sn |= sn >> (k - 8);
+        } else if (k > 4) {
+            sj |= sj >> (k - 4); sn |= sn >> (k - 4);
+        }
+        const uint32_t clean = (uint32_t)~sj & 0xFFFFu;
+        const uint32_t hasn = (uint32_t)sn & 0xFFFFu;
+        const int e = (W - s) < 15 ? (W - s) : 15;
+        const uint32_t lim = (e == 15) ? 0xFFFFu : ((1u << (e + 1)) - 1);
+        uint32_t cmask;
+#if defined(__AVX2__) && defined(__BMI2__)
+        if (cpu_has_avx512()) {
+            cmask = probe16_avx512(pk64, present2, mask2);
+        } else {
+            // 16 presence probes via two 8-lane gathers.  shuffle_ps
+            // packs the low dwords of the u64 shift lanes in order
+            // {0,1,4,5,2,3,6,7} (within each group of 8 windows); a
+            // 256-byte LUT unpermutes the probe bitmask back to window
+            // order.  Garbage keys from the zero-padded tail are valid
+            // (in-bounds) indices and are masked off by `lim`.
+            static const uint8_t* LANE_LUT = [] {
+                static uint8_t lut[256];
+                static const int perm[8] = {0, 1, 4, 5, 2, 3, 6, 7};
+                for (int m = 0; m < 256; m++) {
+                    int v = 0;
+                    for (int l = 0; l < 8; l++)
+                        if (m >> l & 1) v |= 1 << perm[l];
+                    lut[m] = (uint8_t)v;
+                }
+                return lut;
+            }();
+            const __m256i vpk = _mm256_set1_epi64x((long long)pk64);
+            const __m256i m2v = _mm256_set1_epi32((int)mask2);
+            const __m256i one = _mm256_set1_epi32(1);
+            auto keys8 = [&](long long h0, long long h1, long long h2,
+                             long long h3, long long h4, long long h5,
+                             long long h6, long long h7) {
+                const __m256i a = _mm256_srlv_epi64(
+                    vpk, _mm256_setr_epi64x(h0, h1, h2, h3));
+                const __m256i b = _mm256_srlv_epi64(
+                    vpk, _mm256_setr_epi64x(h4, h5, h6, h7));
+                return _mm256_and_si256(_mm256_castps_si256(
+                    _mm256_shuffle_ps(_mm256_castsi256_ps(a),
+                                      _mm256_castsi256_ps(b), 0x88)), m2v);
+            };
+            auto probe8 = [&](__m256i keys) -> uint32_t {
+                const __m256i word = _mm256_i32gather_epi32(
+                    (const int*)present2, _mm256_srli_epi32(keys, 5), 4);
+                const __m256i bit = _mm256_and_si256(
+                    _mm256_srlv_epi32(
+                        word, _mm256_and_si256(keys,
+                                               _mm256_set1_epi32(31))),
+                    one);
+                return (uint32_t)_mm256_movemask_ps(_mm256_castsi256_ps(
+                    _mm256_cmpeq_epi32(bit, one)));
+            };
+            const uint32_t mmA = probe8(keys8(0, 2, 4, 6, 8, 10, 12, 14));
+            const uint32_t mmB = probe8(
+                keys8(16, 18, 20, 22, 24, 26, 28, 30));
+            cmask = LANE_LUT[mmA] | ((uint32_t)LANE_LUT[mmB] << 8);
+        }
+#else
+        {
+            cmask = 0;
+            uint64_t pkv = pk64;
+            for (int o = 0; o <= e; o++, pkv >>= 2) {
+                const uint32_t key = (uint32_t)pkv & mask2;
+                cmask |= (uint32_t)(
+                    (present2[key >> 6] >> (key & 63)) & 1u) << o;
+            }
+        }
+#endif
+        cmask = (cmask | hasn) & clean & lim;
+        while (cmask) {
+            const int o = __builtin_ctz(cmask);
+            cmask &= cmask - 1;
+            const uint32_t key = (uint32_t)(pk64 >> (2 * o)) & mask2;
+            const uint64_t hitn = (uint64_t)((hasn >> o) & 1u);
+            wins[nw++] = (hitn << 63)
+                       | ((uint64_t)(uint32_t)(s + o) << 32) | key;
+        }
     }
     if (!nw) return false;
 
-    // phase 2: prefetch every bucket's bounds, then every bucket's seed
-    // rows, then run stages 2/3 -- memory-level parallelism instead of
-    // a serial chain of L2 misses per probe
+    SeedCtx sc(r->sieve_t == 2);
+
+    if (!r->sieve_hash.empty()) {
+        // phase 2 via the dense slot table: ONE prefetched L2 line per
+        // probe; single-seed buckets (the majority) resolve entirely
+        // from the slot, bigger buckets overflow into seed2
+        const uint32_t nslots1 = (uint32_t)r->sieve_hash.size() - 1;
+        const Reader::HashSlot* hash = r->sieve_hash.data();
+        for (int q = 0; q < nw; q++)
+            if (!(wins[q] >> 63))
+                __builtin_prefetch(&hash[
+                    ((uint32_t)wins[q] * Reader::HASH_MULT)
+                    >> r->sieve_hash_shift]);
+        for (int q = 0; q < nw; q++) {
+            const int wpos = (int)(uint32_t)(wins[q] >> 32) & 0x7FFFFFFF;
+            if (wins[q] >> 63) {      // N window: base-5 path (rare)
+                int64_t kcode = 0;
+                for (int j = wpos; j < wpos + k; j++)
+                    kcode = kcode * 5 + r->code_of[rp[j]];
+                if (!(r->sieve_present[(size_t)kcode >> 6]
+                      >> (kcode & 63) & 1))
+                    continue;
+                if (sieve_seen(r, rp, rl, wpos, r->sieve_seed5.data(),
+                               r->sieve_start[kcode],
+                               r->sieve_start[kcode + 1], sc))
+                    return true;
+                continue;
+            }
+            const uint16_t key = (uint16_t)(uint32_t)wins[q];
+            uint32_t h = ((uint32_t)key * Reader::HASH_MULT)
+                       >> r->sieve_hash_shift;
+            // the presence bit guarantees the key is in the table
+            while (hash[h].key != key || !hash[h].cnt)
+                h = (h + 1) & nslots1;
+            const Reader::HashSlot slot = hash[h];
+            if (slot.cnt == 1) {
+                const int32_t pair[2] = {
+                    (int32_t)(slot.payload >> 16),
+                    (int32_t)(slot.payload & 0xFFFF)};
+                if (sieve_seen(r, rp, rl, wpos, pair, 0, 1, sc))
+                    return true;
+            } else {
+                if (sieve_seen(r, rp, rl, wpos, r->sieve_seed2.data(),
+                               (int32_t)slot.payload,
+                               (int32_t)(slot.payload + slot.cnt), sc))
+                    return true;
+            }
+        }
+        return false;
+    }
+
+    // phase 2 (generic): prefetch every bucket's bounds, then every
+    // bucket's seed rows, then run stages 2/3 -- memory-level
+    // parallelism instead of a serial chain of L2 misses per probe
     for (int q = 0; q < nw; q++)
         if (!(wins[q] >> 63))
             __builtin_prefetch(&r->sieve_start2[(uint32_t)wins[q]]);
@@ -1004,7 +1323,6 @@ bool sieve_candidate_fast(const Reader* r, const uint8_t* rp, int rl) {
         bounds[q][1] = r->sieve_start2[w + 1];
         __builtin_prefetch(&r->sieve_seed2[2 * (size_t)bounds[q][0]]);
     }
-    SeedState ss;
     for (int q = 0; q < nw; q++) {
         const int wpos = (int)(uint32_t)(wins[q] >> 32) & 0x7FFFFFFF;
         if (wins[q] >> 63) {          // N window: base-5 path (rare)
@@ -1014,13 +1332,13 @@ bool sieve_candidate_fast(const Reader* r, const uint8_t* rp, int rl) {
             if (!(r->sieve_present[(size_t)kcode >> 6]
                   >> (kcode & 63) & 1))
                 continue;
-            if (sieve_stage2(r, rp, rl, wpos, r->sieve_seed5.data(),
-                             r->sieve_start[kcode],
-                             r->sieve_start[kcode + 1], ss))
+            if (sieve_seen(r, rp, rl, wpos, r->sieve_seed5.data(),
+                           r->sieve_start[kcode],
+                           r->sieve_start[kcode + 1], sc))
                 return true;
         } else {
-            if (sieve_stage2(r, rp, rl, wpos, r->sieve_seed2.data(),
-                             bounds[q][0], bounds[q][1], ss))
+            if (sieve_seen(r, rp, rl, wpos, r->sieve_seed2.data(),
+                           bounds[q][0], bounds[q][1], sc))
                 return true;
         }
     }
@@ -1394,54 +1712,118 @@ void kvq_set_sieve(Reader* r, const int32_t* start, const int32_t* gpos,
     r->sieve_present2.assign(((size_t)1 << (2 * k)) / 64 + 1, 0);
     // 2-bit-keyed secondary index (see Reader): 4^k + 1 start entries is
     // affordable up to k = 11 (16 MB); beyond that the base-5 index
-    // remains the only path.  N-free base-5 codes ascend monotonically
-    // in their 2-bit image (both are big-endian digit strings), so the
-    // re-bucketed lists fill in one ordered pass.
+    // remains the only path.  Keys are position-little-endian (window
+    // base j at bits [2j, 2j+2)) so the scan side can slice them
+    // directly out of a packed 2-bit read stream; base-5 codes no
+    // longer map monotonically onto them, so the seed lists fill with a
+    // two-pass counting sort.
     r->sieve_has2 = k <= 11;
-    if (r->sieve_has2) {
+    if (r->sieve_has2)
         r->sieve_start2.assign(((size_t)1 << (2 * k)) + 1, 0);
-        r->sieve_seed2.clear();
-    }
     const int32_t nentries = start[r->sieve_p5k];
     r->sieve_seed5.resize((size_t)nentries * 2);
     for (int32_t j = 0; j < nentries; j++) {
         r->sieve_seed5[2 * (size_t)j] = gpos[j];
         r->sieve_seed5[2 * (size_t)j + 1] = gtid[j];
     }
+    // base-5 code (big-endian digits: c = sum w[idx] * 5^(k-1-idx)) ->
+    // little-endian 2-bit key; digit j from the LSB end is window base
+    // k-1-j, so it lands at bits 2*(k-1-j)
+    auto c2_of = [k](int64_t c, bool* has_n) -> uint32_t {
+        uint32_t c2 = 0;
+        int64_t v = c;
+        for (int j = 0; j < k; j++) {
+            const int d = (int)(v % 5);
+            v /= 5;
+            if (d == 4) { *has_n = true; return 0; }
+            c2 |= (uint32_t)d << (2 * (k - 1 - j));
+        }
+        *has_n = false;
+        return c2;
+    };
     for (int64_t c = 0; c < r->sieve_p5k; c++) {
         if (start[c + 1] <= start[c]) continue;
         r->sieve_present[(size_t)c >> 6] |= 1ull << (c & 63);
-        uint32_t c2 = 0;
-        bool has_n = false;
-        int64_t v = c;
-        for (int j = 0; j < k; j++) {
-            int d = (int)(v % 5);
-            v /= 5;
-            if (d == 4) { has_n = true; break; }
-            c2 |= (uint32_t)d << (2 * j);
-        }
+        bool has_n;
+        const uint32_t c2 = c2_of(c, &has_n);
         if (has_n) continue;
         r->sieve_present2[c2 >> 6] |= 1ull << (c2 & 63);
-        if (r->sieve_has2) {
-            r->sieve_start2[c2 + 1] = start[c + 1] - start[c];
+        if (r->sieve_has2)
+            r->sieve_start2[c2 + 1] += start[c + 1] - start[c];
+    }
+    if (r->sieve_has2) {
+        for (size_t i = 1; i < r->sieve_start2.size(); i++)
+            r->sieve_start2[i] += r->sieve_start2[i - 1];
+        r->sieve_seed2.assign(2 * (size_t)r->sieve_start2.back(), 0);
+        std::vector<int32_t> cursor(r->sieve_start2.begin(),
+                                    r->sieve_start2.end() - 1);
+        for (int64_t c = 0; c < r->sieve_p5k; c++) {
+            if (start[c + 1] <= start[c]) continue;
+            bool has_n;
+            const uint32_t c2 = c2_of(c, &has_n);
+            if (has_n) continue;
+            int32_t& cur = cursor[c2];
             for (int32_t j = start[c]; j < start[c + 1]; j++) {
-                r->sieve_seed2.push_back(gpos[j]);
-                r->sieve_seed2.push_back(gtid[j]);
+                r->sieve_seed2[2 * (size_t)cur] = gpos[j];
+                r->sieve_seed2[2 * (size_t)cur + 1] = gtid[j];
+                cur++;
             }
         }
     }
-    if (r->sieve_has2)
-        for (size_t i = 1; i < r->sieve_start2.size(); i++)
-            r->sieve_start2[i] += r->sieve_start2[i - 1];
-    // 2-bit -> base-5 value conversion tables, 4 digits per byte
+    // dense bucket hash (see Reader::sieve_hash): k <= 8 keys fit u16
+    // and gpos/tid must too; count the distinct codes first
+    r->sieve_hash.clear();
+    r->sieve_hash_shift = 0;
+    if (r->sieve_has2 && k <= 8) {
+        int64_t ncodes = 0;
+        bool fits = true;
+        for (int64_t c = 0; c < r->sieve_p5k && fits; c++) {
+            if (start[c + 1] <= start[c]) continue;
+            bool has_n;
+            (void)c2_of(c, &has_n);
+            if (has_n) continue;
+            ncodes++;
+            for (int32_t j = start[c]; j < start[c + 1]; j++)
+                if (gpos[j] > 0xFFFF || gtid[j] > 0xFFFF) fits = false;
+        }
+        if (fits && ncodes && ncodes <= 20000) {
+            uint32_t nslots = 1024;
+            while (nslots < 2 * (uint32_t)ncodes) nslots <<= 1;
+            r->sieve_hash_shift = 32 - __builtin_ctz(nslots);
+            r->sieve_hash.assign(nslots, Reader::HashSlot{0, 0, 0});
+            for (int64_t c = 0; c < r->sieve_p5k; c++) {
+                if (start[c + 1] <= start[c]) continue;
+                bool has_n;
+                const uint32_t c2 = c2_of(c, &has_n);
+                if (has_n) continue;
+                const uint16_t cnt =
+                    (uint16_t)(start[c + 1] - start[c]);
+                uint32_t h = (c2 * Reader::HASH_MULT)
+                           >> r->sieve_hash_shift;
+                while (r->sieve_hash[h].cnt)
+                    h = (h + 1) & (nslots - 1);
+                r->sieve_hash[h].key = (uint16_t)c2;
+                r->sieve_hash[h].cnt = cnt;
+                // seed2 offset of this bucket (same order as start2)
+                const uint32_t off = (uint32_t)r->sieve_start2[c2];
+                r->sieve_hash[h].payload = cnt == 1
+                    ? ((uint32_t)(uint16_t)gpos[start[c]] << 16)
+                      | (uint16_t)gtid[start[c]]
+                    : off;
+            }
+        }
+    }
+
+    // 2-bit-key -> base-5 value conversion tables, 4 window positions
+    // per byte: byte g of a key holds window bases 4g..4g+3, base
+    // 4g+j contributing ((byte >> 2j) & 3) * 5^(k-1-(4g+j))
     for (int g = 0; g < 3; g++) {
-        int64_t scale = 1;
-        for (int j = 0; j < 4 * g; j++) scale *= 5;
         for (int b = 0; b < 256; b++) {
-            int64_t v = 0, pw = scale;
-            for (int j = 0; j < 4; j++) {
-                v += ((b >> (2 * j)) & 3) * pw;
-                pw *= 5;
+            int64_t v = 0;
+            for (int j = 0; j < 4 && 4 * g + j < k; j++) {
+                int64_t pw = 1;
+                for (int q = 0; q < k - 1 - (4 * g + j); q++) pw *= 5;
+                v += (int64_t)((b >> (2 * j)) & 3) * pw;
             }
             r->conv5[g][b] = v;
         }

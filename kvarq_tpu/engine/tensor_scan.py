@@ -186,6 +186,26 @@ def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
     return step
 
 
+@functools.lru_cache(maxsize=None)
+def _pack_fn():
+    ''' jitted packer: (basecount f32 [5,G], seqhits i32 [T+1],
+        seqbasehits i32 [T+1]) -> one flat i32 array (basecount
+        bitcast, so all values round-trip exactly) '''
+    import jax
+    import jax.numpy as jnp
+
+    def pack(bc, sh, sbh):
+        return jnp.concatenate([
+            jax.lax.bitcast_convert_type(bc.reshape(-1), jnp.int32),
+            sh, sbh])
+
+    return jax.jit(pack)
+
+
+def _pack_acc(bc, sh, sbh):
+    return _pack_fn()(bc, sh, sbh)
+
+
 @functools.lru_cache(maxsize=8)
 def _cached_context(seqs, Lpad, maxerrors, minoverlap, backend, platform,
                     fuse):
@@ -330,16 +350,25 @@ class TensorScanner:
 
     def _flush(self, Lpad):
         ''' move device accumulators into the exact host-side int64/float64
-            accumulators (folding the pallas contraction on host) '''
+            accumulators (folding the pallas contraction on host).  The
+            three accumulators are packed into ONE flat device array
+            first, so the readback costs a single transfer round trip --
+            on networked TPU attachments each np.asarray() is its own
+            ~45 ms round trip, and this tail lands on the critical path
+            at the end of every scan. '''
         ctx = self._ctx[Lpad]
         if ctx['acc'] is None:
             return
         acc_bc, acc_sh, acc_sbh = ctx['acc']
+        flat = np.asarray(_pack_acc(acc_bc, acc_sh, acc_sbh))
+        nbc = acc_bc.size
         host = self.basecounts.setdefault(
             Lpad, np.zeros((encode.NBASE, ctx['bank'].G), dtype=np.float64))
-        host += np.asarray(acc_bc, dtype=np.float64)
-        self.seqhits += np.asarray(acc_sh[:self.T], dtype=np.int64)
-        self.seqbasehits += np.asarray(acc_sbh[:self.T], dtype=np.int64)
+        host += flat[:nbc].view(np.float32).astype(np.float64) \
+            .reshape(host.shape)
+        self.seqhits += flat[nbc:nbc + self.T].astype(np.int64)
+        self.seqbasehits += \
+            flat[nbc + self.T + 1:nbc + 2 * self.T + 1].astype(np.int64)
         ctx['acc'] = None
         ctx['steps'] = 0
 
