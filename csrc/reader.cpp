@@ -429,6 +429,7 @@ void update_total(Reader* r) {
 
 #ifdef KVARQ_USE_LIBDEFLATE
 void bg_decode_main(BgDecode* bg, std::string fname, int64_t fsize);
+static int64_t mem_available_bytes();
 #endif
 
 // body of the RingDecode producer thread: the same zlib streaming loop
@@ -557,9 +558,24 @@ bool open_stream(Stream& s, std::string* err, int nthreads) {
                 }
             }
         }
-        // whole-file background decode for small plain-gz files: ~3x
-        // zlib; the streaming ring serves bytes until it is ready
+        // whole-file background decode for RAM-fitting plain-gz files
+        // (libdeflate, ~3x zlib); the streaming ring serves bytes until
+        // the decode is ready, so there is no startup stall.  The
+        // decode is DUPLICATED work while both run, so the big-file
+        // takeover only pays when a core is free to absorb it: on a
+        // 2-core host it loses the race against the pipelined ring and
+        // slows everything down (measured 5.7 s -> 12 s on a 1.7 GB
+        // corpus), while with spare cores it converts the post-decode
+        // remainder to full-speed in-memory parsing.  Small files
+        // (<= 64 MB) keep the takeover unconditionally: the decode wins
+        // long before the ring warms up.  RAM gate: compressed +
+        // 3-5x decompressed must fit comfortably (MemAvailable / 12).
         int64_t bgcap = (int64_t)64 * 1024 * 1024;
+        const unsigned hw = std::thread::hardware_concurrency();
+        if (hw >= (unsigned)nthreads + 2) {
+            int64_t mem = mem_available_bytes();
+            if (mem > 0 && mem / 12 > bgcap) bgcap = mem / 12;
+        }
         const char* bc = std::getenv("KVARQ_GZ_BGCAP");
         if (bc && bc[0]) bgcap = std::atoll(bc);
         if (ld_ok && s.fsize > 0 && s.fsize <= bgcap) {
@@ -724,6 +740,18 @@ long stream_read(Stream& s, uint8_t* out, size_t want, std::string* err) {
 
 // ---- accelerated gz decode ----------------------------------------------
 
+// free host memory (Linux MemAvailable); -1 when unknown
+static int64_t mem_available_bytes() {
+    FILE* f = std::fopen("/proc/meminfo", "r");
+    if (!f) return -1;
+    char line[160];
+    long long kb = -1;
+    while (std::fgets(line, sizeof line, f))
+        if (std::sscanf(line, "MemAvailable: %lld kB", &kb) == 1) break;
+    std::fclose(f);
+    return kb > 0 ? (int64_t)kb * 1024 : -1;
+}
+
 #ifdef KVARQ_USE_LIBDEFLATE
 // body of the background decode thread: slurp the compressed file and
 // decode all gzip members (multi-stream semantics, workhorse.c:841-866)
@@ -743,14 +771,17 @@ void bg_decode_main(BgDecode* bg, std::string fname, int64_t fsize) {
     }
     size_t pos = 0;       // consumed compressed bytes
     size_t len = 0;       // produced decompressed bytes
-    bg->dec.resize(in.size() * 4 + (1u << 20));
+    // start from a generous ratio guess (resize copies + zero-fills, so
+    // repeated doubling on multi-GB outputs is real wall time); bound
+    // growth by a pathological-ratio guard rather than an absolute cap
+    bg->dec.resize(in.size() * 5 + (1u << 24));
     while (ok && pos < in.size()) {
         size_t ain = 0, aout = 0;
         libdeflate_result res = libdeflate_gzip_decompress_ex(
             d, in.data() + pos, in.size() - pos,
             bg->dec.data() + len, bg->dec.size() - len, &ain, &aout);
         if (res == LIBDEFLATE_INSUFFICIENT_SPACE &&
-            bg->dec.size() < (size_t)1 << 30) {
+            bg->dec.size() < in.size() * 48 + (1u << 24)) {
             bg->dec.resize(bg->dec.size() * 2);
             continue;
         }

@@ -21,6 +21,7 @@ the mode-B/D border duplicate (weight 2).
 '''
 
 import functools
+import os
 
 import numpy as np
 
@@ -234,8 +235,15 @@ def _cached_context(seqs, Lpad, maxerrors, minoverlap, backend, platform,
         from kvarq_tpu.engine import pallas_scan
         sub = 16384
         arrays = pallas_scan.device_arrays(bank)
+        # gather_k bounds the exact-scoring pass to the compacted
+        # candidate reads; its two [gather_k, .] matmuls cost
+        # 2*gather_k/sub of the candidate kernel, so 1024 keeps the
+        # overhead at ~12% while being >20 sigma above the candidate
+        # count of hit-rich unsieved data (3% of 16384 = 492 +- 22);
+        # overflow falls back to the exact full-batch scoring pass
         step = pallas_scan.scan_step(
-            Lpad, bank, T, maxerrors, minoverlap, sub, gather_k=2048,
+            Lpad, bank, T, maxerrors, minoverlap, sub,
+            gather_k=int(os.environ.get('KVARQ_GATHER_K', '1024')),
             interpret=(platform == 'cpu'))
     else:
         arrays = bank_device_arrays(bank)
