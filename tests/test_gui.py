@@ -428,3 +428,117 @@ def test_widgets_construct(tmp_path):
     s = Settings(dict(default_config))
     s.show()
     s.win.destroy()
+
+
+def test_coverage_window_draw_geometry():
+    ''' CoverageWindow canvas output asserted item by item against
+        independently computed geometry: depth bars, stacked mutation
+        colors, red region-of-interest borders, dashed mean/mean+-std
+        guides and the frame (reference kvarq/gui/tkplot.py:109-196) '''
+    import faketk
+    from kvarq_tpu.analyse import Coverage
+    from kvarq_tpu.genes import Genotype, Reference, SNP, Test, Genome
+
+    genome = Genome(os.path.join(os.path.dirname(__file__),
+                                 'test_genes.bases'), identifier='toy')
+    snp = SNP(genome=genome, pos=100, orig=genome.read(100, 1),
+              base={'A': 'G'}.get(genome.read(100, 1), 'A'))
+    test = Test(snp, Genotype('t'), Reference('r'))
+    coverage = Coverage(snp.seq(spacing=5))
+    n = len(coverage.coverage)
+    assert n == 11          # 1 bp SNP + 5 bp flanks
+    coverage.coverage = [0, 2, 5, 9, 9, 7, 9, 4, 3, 1, 0]
+    coverage.mutations = {3: 'AAC', 5: 'T'}
+
+    with faketk.installed():
+        from kvarq_tpu.gui import tkplot
+
+        win = tkplot.CoverageWindow(test, coverage)
+        canvas = win.cd.canvas
+        canvas.event_generate('<Configure>')
+
+        # faketk canvases are 400x300; BarPlot margins are 20 all around
+        W, H = 400, 300
+        w, h = W - 40, H - 40
+        flip = lambda y: H - 20 - y   # noqa: E731
+        scale = min(3.0, float(h) / max(coverage.coverage))
+        bx = lambda i: w * i // n     # noqa: E731
+
+        rects = [it for it in canvas.items if it[0] == 'rectangle']
+        lines = [it for it in canvas.items if it[0] == 'line']
+
+        # 1. one gray depth bar per position, exact bounds
+        bars = [r for r in rects if r[2].get('fill') == 'gray']
+        assert len(bars) == n
+        for i, (kind, coords, kw) in enumerate(bars):
+            x0, bw = bx(i), bx(i + 1) - bx(i)
+            assert coords == (20 + x0, flip(0), 20 + x0 + bw,
+                              flip(int(coverage.coverage[i] * scale)))
+
+        # 2. mutation stacks: sorted bases, stacked colors
+        for i, muts in coverage.mutations.items():
+            expect = []
+            for j, base in enumerate(sorted(muts)):
+                y0 = int(j * scale)
+                expect.append((tkplot.CoverageDisplay.BASE_COLORS[base],
+                               (20 + bx(i), flip(y0), 20 + bx(i + 1),
+                                flip(int((j + 1) * scale)))))
+            got = [(r[2]['fill'], r[1]) for r in rects
+                   if r[1][0] == 20 + bx(i) and r[2].get('fill')
+                   in ('blue', 'cyan', 'green', 'red', 'black')]
+            assert got == expect, i
+
+        # 3. red region-of-interest borders at start/stop (the flanks)
+        red = [ln for ln in lines if ln[2].get('fill') == 'red']
+        assert [ln[1] for ln in red] == [
+            (20 + bx(coverage.start), flip(0),
+             20 + bx(coverage.start), flip(h)),
+            (20 + bx(coverage.stop), flip(0),
+             20 + bx(coverage.stop), flip(h))]
+
+        # 4. dashed mean / mean+-std guides at exact heights
+        mean = coverage.mean(include_margins=False)
+        std = coverage.std(include_margins=False)
+        dashed = [ln for ln in lines if 'dash' in ln[2]]
+        assert [(ln[1][1], ln[2]['dash']) for ln in dashed] == [
+            (flip(int((mean - std) * scale)), (2, 5)),
+            (flip(int(mean * scale)), (5, 3)),
+            (flip(int((mean + std) * scale)), (2, 5))]
+
+        # 5. frame rectangle around the plot area
+        frame = [r for r in rects if r[2].get('outline') == 'black']
+        assert frame and frame[-1][1] == (20, flip(0), 20 + w, flip(h))
+
+        # 6. mouse-over readout text
+        win.cd.motion(faketk.Event(widget=canvas, x=20 + bx(3) + 1,
+                                   y=H // 2))
+        assert 'coverage=9' in win.cd.label.kw['text']
+        assert '2x A' in win.cd.label.kw['text']
+        assert '1x C' in win.cd.label.kw['text']
+
+
+def test_spoligo_window_draw_geometry():
+    ''' SpoligoWindow bars item by item: 43 spacers, heights
+        proportional to hit counts, zero margins left/right '''
+    import faketk
+    with faketk.installed():
+        from kvarq_tpu.gui import tkplot
+
+        data = [1, 0, 4] * 14 + [2]     # 43 spacers
+        win = tkplot.SpoligoWindow(data)
+        canvas = win.win.display.canvas
+        canvas.event_generate('<Configure>')
+
+        W, H = 400, 300
+        w, h = W - 0 - 0, H - 40        # margins right/left zeroed
+        flip = lambda y: H - 20 - y     # noqa: E731
+        scale = float(h) / max(data)
+        rects = [it for it in canvas.items if it[0] == 'rectangle']
+        bars = [r for r in rects if r[2].get('fill') == 'gray']
+        assert len(bars) == 43
+        for i, (kind, coords, kw) in enumerate(bars):
+            x0 = w * i // 43
+            bw = w * (i + 1) // 43 - x0
+            assert coords == (x0, flip(0), x0 + bw,
+                              flip(int(data[i] * scale))), i
+        assert win.win.display.describe(2) == 'spoligo2 : 4 hits'
