@@ -39,7 +39,15 @@
 #include <immintrin.h>
 #endif
 
+#ifdef KVARQ_NO_ZLIB
+// zero-dependency build: the self-contained streaming inflate replaces
+// the zlib subset used below (the reference achieved this by vendoring
+// miniz, reference csrc/gz/miniz.c; kvq_inflate.h is an original
+// implementation written for this fallback)
+#include "kvq_inflate.h"
+#else
 #include <zlib.h>
+#endif
 #ifdef KVARQ_USE_LIBDEFLATE
 #include <libdeflate.h>   // ~3x zlib inflate; whole-member API only
 #endif

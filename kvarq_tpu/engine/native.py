@@ -65,9 +65,13 @@ def _build(lib_path, generic=False):
             base = ['g++', '-O3'] + arch + \
                 ['-shared', '-fPIC', '-pthread', '-o', lib_path, SRC]
             # libdeflate (~3x zlib inflate) accelerates the gz producer
-            # pipeline when present; plain zlib otherwise
+            # pipeline when present; plain zlib otherwise; a machine
+            # with NEITHER still builds -- csrc/kvq_inflate.h is a
+            # self-contained streaming inflate (slower, same results),
+            # the analogue of the reference vendoring miniz
             yield base + ['-DKVARQ_USE_LIBDEFLATE', '-lz', '-ldeflate']
             yield base + ['-lz']
+            yield base + ['-DKVARQ_NO_ZLIB']
 
     last = None
     for cmd in variants():

@@ -27,7 +27,8 @@ def build_native():
     lib = os.path.join(HERE, 'csrc', '_reader.so')
     for arch in (['-march=x86-64-v3'], ['-march=native'], []):
         for extra in (['-DKVARQ_USE_LIBDEFLATE', '-lz', '-ldeflate'],
-                      ['-lz']):
+                      ['-lz'],
+                      ['-DKVARQ_NO_ZLIB']):   # self-contained inflate
             cmd = (['g++', '-O3'] + arch
                    + ['-shared', '-fPIC', '-pthread', '-o', lib, src]
                    + extra)
@@ -68,7 +69,8 @@ setup(
     # first-ever scan on a fresh machine starts in seconds.
     package_data={
         'kvarq_tpu': ['_precompiled/*-cache'],
-        '': ['../csrc/reader.cpp', '../csrc/_reader.so',
+        '': ['../csrc/reader.cpp', '../csrc/kvq_inflate.h',
+             '../csrc/_reader.so',
              '../testsuites/*.md',
              '../testsuites/MTBC/*.py', '../testsuites/MTBC/*.md',
              '../testsuites/MTBC/*.bases',
