@@ -27,6 +27,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <new>
 
 #define Z_NO_FLUSH 0
 #define Z_OK 0
@@ -42,17 +43,17 @@ typedef unsigned int uInt;
 namespace kvq_zlib {
 
 inline const uint32_t* crc_table() {
-    static uint32_t tbl[256];
-    static bool init = false;
-    if (!init) {
+    // C++11 magic static: thread-safe one-time init
+    static const uint32_t* tbl = [] {
+        static uint32_t t[256];
         for (uint32_t n = 0; n < 256; n++) {
             uint32_t c = n;
             for (int k = 0; k < 8; k++)
                 c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
-            tbl[n] = c;
+            t[n] = c;
         }
-        init = true;
-    }
+        return t;
+    }();
     return tbl;
 }
 

@@ -766,7 +766,7 @@ static int64_t mem_available_bytes() {
 // into bg->dec.  Any failure -- short read, bad data, pathological
 // ratio -- just marks the decode unusable (state 3); the concurrent zlib
 // streaming path keeps going and reports errors with its own messages.
-void bg_decode_main(BgDecode* bg, std::string fname, int64_t fsize) {
+void bg_decode_main(BgDecode* bg, std::string fname, int64_t fsize) try {
     FILE* f = std::fopen(fname.c_str(), "rb");
     std::vector<uint8_t> in((size_t)fsize);
     bool ok = f && std::fread(in.data(), 1, in.size(), f) == in.size();
@@ -777,11 +777,16 @@ void bg_decode_main(BgDecode* bg, std::string fname, int64_t fsize) {
         bg->state.store(3, std::memory_order_release);
         return;
     }
+    // growth bound: pathological-ratio guard AND current free RAM (a
+    // legal high-ratio file must abandon the takeover, not OOM -- the
+    // streaming ring is decoding the same file concurrently anyway)
+    size_t cap = in.size() * 48 + (1u << 24);
+    const int64_t mem = mem_available_bytes();
+    if (mem > 0 && cap > (size_t)(mem / 2)) cap = (size_t)(mem / 2);
     size_t pos = 0;       // consumed compressed bytes
     size_t len = 0;       // produced decompressed bytes
     // start from a generous ratio guess (resize copies + zero-fills, so
-    // repeated doubling on multi-GB outputs is real wall time); bound
-    // growth by a pathological-ratio guard rather than an absolute cap
+    // repeated doubling on multi-GB outputs is real wall time)
     bg->dec.resize(in.size() * 5 + (1u << 24));
     while (ok && pos < in.size()) {
         size_t ain = 0, aout = 0;
@@ -789,8 +794,9 @@ void bg_decode_main(BgDecode* bg, std::string fname, int64_t fsize) {
             d, in.data() + pos, in.size() - pos,
             bg->dec.data() + len, bg->dec.size() - len, &ain, &aout);
         if (res == LIBDEFLATE_INSUFFICIENT_SPACE &&
-            bg->dec.size() < in.size() * 48 + (1u << 24)) {
-            bg->dec.resize(bg->dec.size() * 2);
+            bg->dec.size() < cap) {
+            size_t want = bg->dec.size() * 2;
+            bg->dec.resize(want < cap ? want : cap);
             continue;
         }
         if (res != LIBDEFLATE_SUCCESS) {
@@ -809,6 +815,12 @@ void bg_decode_main(BgDecode* bg, std::string fname, int64_t fsize) {
     }
     bg->dec.resize(len);
     bg->state.store(2, std::memory_order_release);
+} catch (...) {
+    // allocation failure etc. must mark the decode unusable, not
+    // escape the thread (which would std::terminate the process)
+    bg->dec.clear();
+    bg->dec.shrink_to_fit();
+    bg->state.store(3, std::memory_order_release);
 }
 #endif
 
@@ -1822,7 +1834,8 @@ void kvq_set_sieve(Reader* r, const int32_t* start, const int32_t* gpos,
             (void)c2_of(c, &has_n);
             if (has_n) continue;
             ncodes++;
-            for (int32_t j = start[c]; j < start[c + 1]; j++)
+            if (start[c + 1] - start[c] > 0xFFFF) fits = false;
+            for (int32_t j = start[c]; fits && j < start[c + 1]; j++)
                 if (gpos[j] > 0xFFFF || gtid[j] > 0xFFFF) fits = false;
         }
         if (fits && ncodes && ncodes <= 20000) {

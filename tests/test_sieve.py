@@ -108,9 +108,11 @@ def test_sieve_native_parity_random(tmp_path, seed):
     write_fastq(path, reads)
 
     # k = m // (me+1): 8, 12 (base-5 fallback, no 2-bit index), 7, 11
-    # (largest 2-bit-indexed k), 6 (MIN_USEFUL_K)
+    # (largest 2-bit-indexed k), 6 (MIN_USEFUL_K); (2, 26) makes t = 3,
+    # the exact-SeedState regime of the 2-bit/hash path (t == 2 takes
+    # the bloom fast path, t == 1 verifies every seed immediately)
     for me, mo, mrl in [(2, 25, 25), (0, 12, 12), (1, 14, 14),
-                        (0, 11, 11), (0, 6, 6)]:
+                        (0, 11, 11), (0, 6, 6), (2, 26, 26)]:
         sieve = KmerSieve.build(templates, me, mo, mrl)
         if sieve is None:
             continue

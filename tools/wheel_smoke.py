@@ -88,11 +88,14 @@ def main():
             print('MISSING golden strings: %r' % missing, file=sys.stderr)
             return 1
         # 4. the installed native reader must actually load (not the
-        # numpy fallback) -- proves csrc/_reader.so shipped and runs
-        probe = run([vpy, '-c',
-                     'from kvarq_tpu.engine import native; '
-                     'import sys; sys.exit(0 if native.available() '
-                     'else 3)'], env=env)
+        # numpy fallback) -- proves csrc/_reader.so shipped and runs.
+        # cwd must NOT be the repo root: python -c puts the cwd on
+        # sys.path, which would resolve kvarq_tpu to the source tree
+        # and defeat the probe
+        run([vpy, '-c',
+             'from kvarq_tpu.engine import native; '
+             'import sys; sys.exit(0 if native.available() else 3)'],
+            cwd=work, env=env)
         print('WHEEL SMOKE OK: golden strings reproduced from the '
               'installed wheel; native reader loaded')
         return 0
