@@ -1724,6 +1724,12 @@ Reader* kvq_open(const char** fnames, int nfiles, int amin,
     r->code_of['A'] = 0; r->code_of['C'] = 1; r->code_of['G'] = 2;
     r->code_of['T'] = 3; r->code_of['N'] = 4;
     if (nthreads > 16) nthreads = 16;
+    // oversubscription clamp: the reference's default of 8 threads on a
+    // 2-core host pays context-switch overhead for nothing (measured
+    // ~2-3% at the bench); cap at cores+2 so the pipeline keeps a
+    // producer and a consumer runnable but no more
+    const unsigned hw = std::thread::hardware_concurrency();
+    if (hw >= 1 && nthreads > (int)hw + 2) nthreads = (int)hw + 2;
     if (nthreads < 1) nthreads = 1;
     r->nthreads = nthreads;
     if (parse_cap > 0) r->parse_cap = parse_cap;
