@@ -1049,6 +1049,18 @@ inline bool sieve_stage2_t2(const Reader* r, const uint8_t* rp, int rl,
     return false;
 }
 
+// one (gpos, tid) seed, dispatching on t (the single-seed analogue of
+// sieve_seen; lets cnt==1 hash slots process without the stack-pair
+// round trip through the array interface)
+static inline bool seed_note1(const Reader* r, const uint8_t* rp,
+                              int rl, int wpos, int32_t gpos_,
+                              int32_t tid, SeedCtx& sc) {
+    const int32_t pair[2] = {gpos_, tid};
+    return r->sieve_t == 2
+        ? sieve_stage2_t2(r, rp, rl, wpos, pair, 0, 1, sc)
+        : sieve_stage2(r, rp, rl, wpos, pair, 0, 1, sc.ss);
+}
+
 inline bool sieve_seen(const Reader* r, const uint8_t* rp, int rl,
                        int wpos, const int32_t* seeds, int32_t jlo,
                        int32_t jhi, SeedCtx& sc) {
@@ -1308,10 +1320,9 @@ bool sieve_candidate_fast(const Reader* r, const uint8_t* rp, int rl) {
                 h = (h + 1) & nslots1;
             const Reader::HashSlot slot = hash[h];
             if (slot.cnt == 1) {
-                const int32_t pair[2] = {
-                    (int32_t)(slot.payload >> 16),
-                    (int32_t)(slot.payload & 0xFFFF)};
-                if (sieve_seen(r, rp, rl, wpos, pair, 0, 1, sc))
+                if (seed_note1(r, rp, rl, wpos,
+                               (int32_t)(slot.payload >> 16),
+                               (int32_t)(slot.payload & 0xFFFF), sc))
                     return true;
             } else {
                 if (sieve_seen(r, rp, rl, wpos, r->sieve_seed2.data(),
