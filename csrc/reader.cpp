@@ -307,6 +307,8 @@ struct CandRec { int32_t rl; int64_t filepos; size_t raw_off; };
 struct WorkItem {
     uint64_t seq = 0;
     std::vector<uint8_t> data;  // complete records only
+    std::vector<int32_t> nl;    // newline positions within data (the
+                                // splitter's scan, reused by the parse)
     int64_t offset = 0;         // global decompressed offset of data[0]
     std::vector<CandRec> cands;
     std::vector<uint8_t> raws;  // concatenated trimmed candidate bytes
@@ -1476,25 +1478,46 @@ WorkItem* pull_work(Reader* r) {
             continue;
         }
         // find the end of the last complete record (every 4th newline)
+        // with ONE SIMD newline scan whose positions the worker's
+        // record parse then reuses (it previously re-scanned the span)
         const uint64_t st0 = prof_enabled() ? prof_now() : 0;
         const uint8_t* base = r->buf.data();
-        size_t scan_end = r->buf_pos +
-            (avail < WORKCHUNK ? avail : WORKCHUNK);
+        const size_t start = r->buf_pos;
+        size_t scan_end = start + (avail < WORKCHUNK ? avail : WORKCHUNK);
         size_t last_rec_end = 0;
-        int nl_count = 0;
-        for (size_t q = r->buf_pos; ; ) {
-            const void* nl = std::memchr(base + q, '\n', scan_end - q);
-            if (!nl) {
-                if (scan_end < r->buf_pos + avail && last_rec_end == 0) {
-                    // record longer than the window: widen
-                    scan_end = r->buf_pos + avail;
-                    continue;
+        std::vector<int32_t> nls;
+        nls.reserve((scan_end - start) / 48 + 8);
+        for (size_t q = start; ; ) {
+            size_t i = q;
+#if defined(__AVX2__)
+            const __m256i NLC = _mm256_set1_epi8('\n');
+            for (; i + 32 <= scan_end; i += 32) {
+                uint32_t m = (uint32_t)_mm256_movemask_epi8(
+                    _mm256_cmpeq_epi8(
+                        _mm256_loadu_si256((const __m256i*)(base + i)),
+                        NLC));
+                while (m) {
+                    nls.push_back(
+                        (int32_t)(i + __builtin_ctz(m) - start));
+                    m &= m - 1;
                 }
-                break;
             }
-            q = (const uint8_t*)nl - base + 1;
-            if (++nl_count % 4 == 0) last_rec_end = q;
+#endif
+            for (; i < scan_end; i++)
+                if (base[i] == '\n')
+                    nls.push_back((int32_t)(i - start));
+            if (nls.size() < 4 && scan_end < start + avail) {
+                // record longer than the window: widen
+                q = scan_end;
+                scan_end = start + avail;
+                continue;
+            }
+            break;
         }
+        const size_t nrec4 = nls.size() & ~(size_t)3;
+        if (nrec4)
+            last_rec_end = start + (size_t)nls[nrec4 - 1] + 1;
+        nls.resize(nrec4);
         if (st0) r->prof_split.fetch_add(prof_now() - st0,
                                          std::memory_order_relaxed);
         if (last_rec_end == 0) {
@@ -1517,6 +1540,7 @@ WorkItem* pull_work(Reader* r) {
         it->seq = r->next_split++;
         it->offset = r->buf_offset + (int64_t)r->buf_pos;
         it->data.assign(base + r->buf_pos, base + last_rec_end);
+        it->nl = std::move(nls);
         r->buf_pos = last_rec_end;
         return it;
     }
@@ -1528,12 +1552,12 @@ void process_item(Reader* r, WorkItem* it) {
     const uint8_t* b = it->data.data();
     const size_t len = it->data.size();
 
-    // bulk newline scan first (one SIMD pass beats 4 memchr calls per
-    // ~200-byte record: 123 -> 68 cycles/record measured); item spans
-    // are record-aligned, so the count is a multiple of 4
-    std::vector<int32_t> nl;
-    nl.reserve(len / 48 + 8);
-    {
+    // newline positions come from the splitter's scan (pull_work fills
+    // it->nl); the fallback scan covers items built by other callers.
+    // Item spans are record-aligned, so the count is a multiple of 4.
+    std::vector<int32_t> local_nl;
+    if (it->nl.empty() && len) {
+        local_nl.reserve(len / 48 + 8);
         size_t i = 0;
 #if defined(__AVX2__)
         const __m256i NL = _mm256_set1_epi8('\n');
@@ -1542,14 +1566,16 @@ void process_item(Reader* r, WorkItem* it) {
             uint32_t m = (uint32_t)_mm256_movemask_epi8(
                 _mm256_cmpeq_epi8(v, NL));
             while (m) {
-                nl.push_back((int32_t)(i + __builtin_ctz(m)));
+                local_nl.push_back((int32_t)(i + __builtin_ctz(m)));
                 m &= m - 1;
             }
         }
 #endif
         for (; i < len; i++)
-            if (b[i] == '\n') nl.push_back((int32_t)i);
+            if (b[i] == '\n') local_nl.push_back((int32_t)i);
     }
+    const std::vector<int32_t>& nl =
+        it->nl.empty() ? local_nl : it->nl;
 
     size_t p = 0;
     for (size_t rec = 0; rec + 3 < nl.size(); rec += 4) {
@@ -2067,6 +2093,35 @@ int main(int argc, char** argv) {
             int n = (int)s.size() < rl ? (int)s.size() : rl;
             std::memcpy(rp, s.data(), n);
         }
+    }
+
+    if (argc > 4 && argv[4][0] == 'p') {
+        // parse mode: time the process_item path (newline scan +
+        // handle_record incl. trim + sieve) over an in-memory span
+        std::vector<uint8_t> buf;
+        for (int i = 0; i < n_reads; i++) {
+            char hdr[32];
+            int hn = std::snprintf(hdr, sizeof hdr, "@r%d\n", i);
+            buf.insert(buf.end(), hdr, hdr + hn);
+            const uint8_t* rp = reads.data() + (size_t)i * rl;
+            buf.insert(buf.end(), rp, rp + rl);
+            buf.push_back('\n'); buf.push_back('+'); buf.push_back('\n');
+            for (int j = 0; j < rl; j++) buf.push_back('I');
+            buf.push_back('\n');
+        }
+        for (int rep = 0; rep < 3; rep++) {
+            WorkItem it;
+            it.data = buf;
+            const uint64_t t0 = sb_now();
+            process_item(r, &it);
+            const uint64_t dt = sb_now() - t0;
+            std::printf("parse rep %d: %.0f cycles/record "
+                        "(%lld records, %zu cands)\n", rep,
+                        (double)dt / it.nrecords,
+                        (long long)it.nrecords, it.cands.size());
+        }
+        kvq_close(r);
+        return 0;
     }
 
     long cand = 0;
