@@ -1051,18 +1051,6 @@ inline bool sieve_stage2_t2(const Reader* r, const uint8_t* rp, int rl,
     return false;
 }
 
-// one (gpos, tid) seed, dispatching on t (the single-seed analogue of
-// sieve_seen; lets cnt==1 hash slots process without the stack-pair
-// round trip through the array interface)
-static inline bool seed_note1(const Reader* r, const uint8_t* rp,
-                              int rl, int wpos, int32_t gpos_,
-                              int32_t tid, SeedCtx& sc) {
-    const int32_t pair[2] = {gpos_, tid};
-    return r->sieve_t == 2
-        ? sieve_stage2_t2(r, rp, rl, wpos, pair, 0, 1, sc)
-        : sieve_stage2(r, rp, rl, wpos, pair, 0, 1, sc.ss);
-}
-
 inline bool sieve_seen(const Reader* r, const uint8_t* rp, int rl,
                        int wpos, const int32_t* seeds, int32_t jlo,
                        int32_t jhi, SeedCtx& sc) {
@@ -1208,13 +1196,22 @@ bool sieve_candidate_fast(const Reader* r, const uint8_t* rp, int rl) {
         std::memcpy(nm + (i >> 3), &nbits, 4);
     }
 #endif
-    // zero the tail so the unaligned window loads read defined bytes;
-    // constant sizes (rl - i < 32, so 24 bytes cover every case) let
-    // the compiler inline plain stores instead of 3 memset calls
-    // (~60 cycles/read of call overhead at 101 bp)
+    // zero the tail so the unaligned window loads read defined bytes
+#if defined(__AVX2__) && defined(__BMI2__)
+    // the SIMD pack consumed every full 32-base block, so rl - i < 32
+    // and constant 24-byte spans cover every case -- the compiler
+    // inlines plain stores instead of 3 memset calls (~60 cycles/read
+    // of call overhead at 101 bp)
     std::memset(pk + (i >> 2), 0, 24);
     std::memset(jm + (i >> 3), 0, 24);
     std::memset(nm + (i >> 3), 0, 24);
+#else
+    // generic build: i == 0 here, the scalar loop below fills the
+    // whole read -- zero everything it will OR into
+    std::memset(pk + (i >> 2), 0, (size_t)((rl - i + 3) / 4) + 8);
+    std::memset(jm + (i >> 3), 0, (size_t)((rl - i + 7) / 8) + 8);
+    std::memset(nm + (i >> 3), 0, (size_t)((rl - i + 7) / 8) + 8);
+#endif
     for (; i < rl; i++) {
         const uint8_t c = r->code_of[rp[i]];
         pk[i >> 2] |= (uint8_t)((c & 3) << (2 * (i & 3)));
@@ -1322,9 +1319,10 @@ bool sieve_candidate_fast(const Reader* r, const uint8_t* rp, int rl) {
                 h = (h + 1) & nslots1;
             const Reader::HashSlot slot = hash[h];
             if (slot.cnt == 1) {
-                if (seed_note1(r, rp, rl, wpos,
-                               (int32_t)(slot.payload >> 16),
-                               (int32_t)(slot.payload & 0xFFFF), sc))
+                const int32_t pair[2] = {
+                    (int32_t)(slot.payload >> 16),
+                    (int32_t)(slot.payload & 0xFFFF)};
+                if (sieve_seen(r, rp, rl, wpos, pair, 0, 1, sc))
                     return true;
             } else {
                 if (sieve_seen(r, rp, rl, wpos, r->sieve_seed2.data(),
@@ -1455,6 +1453,27 @@ int handle_record(const Reader* r, const uint8_t* b, size_t p,
 
 // ---- worker-thread machinery ------------------------------------------
 
+// SIMD newline-position scan of base[from, to), positions emitted
+// relative to base[rel]; shared by the span splitter and the
+// process_item fallback
+static void scan_newlines(const uint8_t* base, size_t from, size_t to,
+                          size_t rel, std::vector<int32_t>* out) {
+    size_t i = from;
+#if defined(__AVX2__)
+    const __m256i NL = _mm256_set1_epi8('\n');
+    for (; i + 32 <= to; i += 32) {
+        uint32_t m = (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(
+            _mm256_loadu_si256((const __m256i*)(base + i)), NL));
+        while (m) {
+            out->push_back((int32_t)(i + __builtin_ctz(m) - rel));
+            m &= m - 1;
+        }
+    }
+#endif
+    for (; i < to; i++)
+        if (base[i] == '\n') out->push_back((int32_t)(i - rel));
+}
+
 // pull the next record-aligned span from the shared stream (the
 // reference's mutex-guarded fastq_read + fastq_rewind, workhorse.c:746,
 // :696-718 -- but via exact 4-newline counting instead of the rewind
@@ -1488,24 +1507,7 @@ WorkItem* pull_work(Reader* r) {
         std::vector<int32_t> nls;
         nls.reserve((scan_end - start) / 48 + 8);
         for (size_t q = start; ; ) {
-            size_t i = q;
-#if defined(__AVX2__)
-            const __m256i NLC = _mm256_set1_epi8('\n');
-            for (; i + 32 <= scan_end; i += 32) {
-                uint32_t m = (uint32_t)_mm256_movemask_epi8(
-                    _mm256_cmpeq_epi8(
-                        _mm256_loadu_si256((const __m256i*)(base + i)),
-                        NLC));
-                while (m) {
-                    nls.push_back(
-                        (int32_t)(i + __builtin_ctz(m) - start));
-                    m &= m - 1;
-                }
-            }
-#endif
-            for (; i < scan_end; i++)
-                if (base[i] == '\n')
-                    nls.push_back((int32_t)(i - start));
+            scan_newlines(base, q, scan_end, start, &nls);
             if (nls.size() < 4 && scan_end < start + avail) {
                 // record longer than the window: widen
                 q = scan_end;
@@ -1558,21 +1560,7 @@ void process_item(Reader* r, WorkItem* it) {
     std::vector<int32_t> local_nl;
     if (it->nl.empty() && len) {
         local_nl.reserve(len / 48 + 8);
-        size_t i = 0;
-#if defined(__AVX2__)
-        const __m256i NL = _mm256_set1_epi8('\n');
-        for (; i + 32 <= len; i += 32) {
-            const __m256i v = _mm256_loadu_si256((const __m256i*)(b + i));
-            uint32_t m = (uint32_t)_mm256_movemask_epi8(
-                _mm256_cmpeq_epi8(v, NL));
-            while (m) {
-                local_nl.push_back((int32_t)(i + __builtin_ctz(m)));
-                m &= m - 1;
-            }
-        }
-#endif
-        for (; i < len; i++)
-            if (b[i] == '\n') local_nl.push_back((int32_t)i);
+        scan_newlines(b, 0, len, 0, &local_nl);
     }
     const std::vector<int32_t>& nl =
         it->nl.empty() ? local_nl : it->nl;
@@ -1598,6 +1586,9 @@ void process_item(Reader* r, WorkItem* it) {
         }
         p = nls[3] + 1;
     }
+    // the positions are dead now; free them before the item parks in
+    // the ordered completion queue
+    std::vector<int32_t>().swap(it->nl);
     if (it0) r->prof_item.fetch_add(prof_now() - it0,
                                     std::memory_order_relaxed);
 }
@@ -2035,13 +2026,11 @@ int main(int argc, char** argv) {
     // bank: random templates, ~75 bp, plus-strand only (the shape the
     // MTBC bench presents after flanking)
     std::vector<std::string> tmpl;
-    int64_t bank_len = 0;
     for (int i = 0; i < n_templates; i++) {
         int L = 50 + (int)(rng() % 60);
         std::string s;
         for (int j = 0; j < L; j++) s += B[rng() % 4];
         tmpl.push_back(s);
-        bank_len += L + k;
     }
     // base-5 index exactly like kvarq_tpu.engine.sieve.KmerSieve.build
     int64_t p5k = 1;
