@@ -23,6 +23,7 @@ kvarq_tpu.engine.hitmodel).
 '''
 
 import collections
+import functools
 import os
 import threading
 
@@ -189,13 +190,23 @@ def _make_scanner(seqs):
                           _config['minoverlap'], mesh=mesh)
 
 
+@functools.lru_cache(maxsize=4)
+def _cached_sieve(seqs_key, maxerrors, minoverlap, minreadlength):
+    from kvarq_tpu.engine.sieve import KmerSieve
+    return KmerSieve.build(list(seqs_key), maxerrors, minoverlap,
+                           minreadlength)
+
+
 def _make_sieve(seqs):
     mode = _extra_config['sieve']
     if mode in (False, 'off', '0', 'no'):
         return None
-    from kvarq_tpu.engine.sieve import KmerSieve
-    sieve = KmerSieve.build(seqs, _config['maxerrors'],
-                            _config['minoverlap'], _config['minreadlength'])
+    # the index build costs ~30 ms for the MTBC bank; repeated scans of
+    # the same bank (GUI multi-file runs, benchmarks, batch mode) reuse
+    # it -- the sieve is immutable after build
+    sieve = _cached_sieve(tuple(seqs), _config['maxerrors'],
+                          _config['minoverlap'],
+                          _config['minreadlength'])
     if sieve is None and mode not in ('auto',):
         lo.warning('k-mer sieve not applicable for current config; disabled')
     return sieve
