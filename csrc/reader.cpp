@@ -750,7 +750,10 @@ long stream_read(Stream& s, uint8_t* out, size_t want, std::string* err) {
 
 // ---- accelerated gz decode ----------------------------------------------
 
-// free host memory (Linux MemAvailable); -1 when unknown
+#ifdef KVARQ_USE_LIBDEFLATE
+// free host memory (Linux MemAvailable); -1 when unknown.  Only the
+// libdeflate takeover consults it, so keep it inside the #ifdef (the
+// plain -lz build would otherwise warn about an unused function).
 static int64_t mem_available_bytes() {
     FILE* f = std::fopen("/proc/meminfo", "r");
     if (!f) return -1;
@@ -762,7 +765,6 @@ static int64_t mem_available_bytes() {
     return kb > 0 ? (int64_t)kb * 1024 : -1;
 }
 
-#ifdef KVARQ_USE_LIBDEFLATE
 // body of the background decode thread: slurp the compressed file and
 // decode all gzip members (multi-stream semantics, workhorse.c:841-866)
 // into bg->dec.  Any failure -- short read, bad data, pathological
@@ -788,8 +790,11 @@ void bg_decode_main(BgDecode* bg, std::string fname, int64_t fsize) try {
     size_t pos = 0;       // consumed compressed bytes
     size_t len = 0;       // produced decompressed bytes
     // start from a generous ratio guess (resize copies + zero-fills, so
-    // repeated doubling on multi-GB outputs is real wall time)
-    bg->dec.resize(in.size() * 5 + (1u << 24));
+    // repeated doubling on multi-GB outputs is real wall time), but never
+    // above the RAM cap: on a tight-memory host the uncapped guess could
+    // throw bad_alloc and abandon a takeover that fits at cap
+    size_t init = in.size() * 5 + (1u << 24);
+    bg->dec.resize(init < cap ? init : cap);
     while (ok && pos < in.size()) {
         size_t ain = 0, aout = 0;
         libdeflate_result res = libdeflate_gzip_decompress_ex(
@@ -1688,6 +1693,14 @@ long next_threaded(Reader* r, long cap, long lmax, uint8_t* raw,
 }  // namespace
 
 extern "C" {
+
+// build provenance: native.py embeds the sha256 of this source at build
+// time and compares at load, so a shipped/prebuilt .so whose mtime ties
+// with a fresh checkout can never be used silently against newer source
+#ifndef KVARQ_SRC_HASH
+#define KVARQ_SRC_HASH ""
+#endif
+const char* kvq_src_hash(void) { return KVARQ_SRC_HASH; }
 
 Reader* kvq_open(const char** fnames, int nfiles, int amin,
                  int minreadlength, int nthreads, long parse_cap) {

@@ -25,6 +25,7 @@ kvarq_tpu.engine.hitmodel).
 import collections
 import functools
 import os
+import stat
 import threading
 
 import numpy as np
@@ -345,6 +346,11 @@ def _small_scan_eligible(fnames, tensor_path=False):
         # tens-of-MB decompressed input sneak into the numpy path)
         total = 0
         for f in fnames:
+            # regular files only: sniffing the magic of a FIFO/process
+            # substitution would consume stream bytes the real reader
+            # needs, corrupting the subsequent scan
+            if not stat.S_ISREG(os.stat(f).st_mode):
+                return False
             size = os.path.getsize(f)
             with open(f, 'rb') as fd:
                 if fd.read(2) == b'\x1f\x8b':

@@ -50,6 +50,38 @@ _lib = None
 _lib_failed = False
 
 
+def _src_hash():
+    ''' sha256 of the C++ source, embedded into the library at build time
+        (kvq_src_hash) and compared at load -- mtimes are useless for
+        staleness on fresh checkouts, where a shipped prebuilt .so and the
+        source get near-identical checkout-time mtimes '''
+    import hashlib
+    with open(SRC, 'rb') as fd:
+        return hashlib.sha256(fd.read()).hexdigest()[:16]
+
+
+def _load_if_current(lib_path, want_hash):
+    ''' load lib_path if it exists and was built from the current source;
+        None otherwise '''
+    if not os.path.exists(lib_path):
+        return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+        lib.kvq_src_hash.restype = ctypes.c_char_p
+        if lib.kvq_src_hash().decode() == want_hash:
+            return lib
+    except (OSError, AttributeError):
+        pass
+    # stale or unreadable: unlink so the relink creates a fresh inode
+    # (dlopen caches by inode; rebuilding in place would hand back the
+    # already-loaded stale image)
+    try:
+        os.unlink(lib_path)
+    except OSError:
+        pass
+    return None
+
+
 def _build(lib_path, generic=False):
     # x86-64-v3 (AVX2 baseline) rather than -march=native: measured
     # equal on the hot loops (the SIMD paths are explicit AVX2
@@ -63,7 +95,8 @@ def _build(lib_path, generic=False):
             [['-march=x86-64-v3', '-mtune=native'], ['-march=native'], []]
         for arch in archs:
             base = ['g++', '-O3'] + arch + \
-                ['-shared', '-fPIC', '-pthread', '-o', lib_path, SRC]
+                ['-DKVARQ_SRC_HASH="%s"' % _src_hash(),
+                 '-shared', '-fPIC', '-pthread', '-o', lib_path, SRC]
             # libdeflate (~3x zlib inflate) accelerates the gz producer
             # pipeline when present; plain zlib otherwise; a machine
             # with NEITHER still builds -- csrc/kvq_inflate.h is a
@@ -96,10 +129,11 @@ def get_lib():
         try:
             generic = not _cpu_supports_v3()
             lib_path = LIB_COMPAT if generic else LIB
-            if (not os.path.exists(lib_path)
-                    or os.path.getmtime(lib_path) < os.path.getmtime(SRC)):
+            want = _src_hash()
+            lib = _load_if_current(lib_path, want)
+            if lib is None:
                 _build(lib_path, generic)
-            lib = ctypes.CDLL(lib_path)
+                lib = ctypes.CDLL(lib_path)
         except Exception as e:
             lo.warning('native reader unavailable (%s); '
                        'falling back to numpy pipeline' % e)
