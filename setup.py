@@ -75,6 +75,7 @@ setup(
              '../testsuites/MTBC/*.py', '../testsuites/MTBC/*.md',
              '../testsuites/MTBC/*.bases',
              '../testsuites/examples/*.py',
+             '../testsuites/ebola/*.py', '../testsuites/ebola/*.fasta',
              '../testsuites/examples/*.tsv',
              '../docs/*.md'],
     },
