@@ -34,6 +34,11 @@
 
 #include <fcntl.h>
 #include <unistd.h>
+#if defined(__linux__) || defined(__APPLE__)
+#include <sys/mman.h>
+#include <sys/stat.h>
+#define KVARQ_HAVE_MMAP 1
+#endif
 
 #if defined(__AVX2__)
 #include <immintrin.h>
@@ -115,6 +120,14 @@ struct Stream {
     // big-file pipelined decode paths (see open_stream)
     struct RingDecode* ring = nullptr;    // dedicated zlib decode thread
     struct BgzfDecode* bgzf = nullptr;    // parallel per-block libdeflate
+    // plain regular files are mmap'd: workers take zero-copy spans
+    // straight from the mapping (no fill_buf syscall+copy under the
+    // shared lock -- the serialized fraction that capped thread fan-out).
+    // Unmapped only in kvq_close, after workers have joined, since
+    // in-flight WorkItems reference the mapping.
+    const uint8_t* map = nullptr;
+    size_t map_size = 0;
+    size_t map_advised = 0;      // readahead high-water (madvise WILLNEED)
 };
 
 // background decode of a whole (small) gz file with libdeflate (~3x
@@ -307,6 +320,11 @@ struct CandRec { int32_t rl; int64_t filepos; size_t raw_off; };
 struct WorkItem {
     uint64_t seq = 0;
     std::vector<uint8_t> data;  // complete records only
+    // zero-copy span variant: the item borrows [ext, ext+ext_len) from a
+    // Stream's mmap'd file instead of owning a copy in `data`; valid
+    // until kvq_close unmaps (workers are joined before that)
+    const uint8_t* ext = nullptr;
+    size_t ext_len = 0;
     std::vector<int32_t> nl;    // newline positions within data (the
                                 // splitter's scan, reused by the parse)
     int64_t offset = 0;         // global decompressed offset of data[0]
@@ -429,6 +447,8 @@ struct Reader {
     mutable std::atomic<uint64_t> prof_sieve{0};   // k-mer sieve
     mutable std::atomic<uint64_t> prof_pack{0};    // batch packing/encode
     mutable std::atomic<uint64_t> prof_item{0};    // process_item total
+    mutable std::atomic<uint64_t> prof_inwait{0};  // in_mtx acquisition wait
+    mutable std::atomic<uint64_t> prof_outwait{0}; // consumer out_cv wait
 };
 
 void update_total(Reader* r) {
@@ -529,6 +549,31 @@ bool open_stream(Stream& s, std::string* err, int nthreads) {
     std::fseek(s.f, 0, SEEK_SET);
     size_t n = s.fname.size();
     s.is_gz = n > 3 && s.fname.compare(n - 3, 3, ".gz") == 0;
+#ifdef KVARQ_HAVE_MMAP
+    if (!s.is_gz && s.fsize > 0) {
+        // zero-copy path for plain regular files: workers split records
+        // straight on the mapping (pull_work), eliminating the
+        // read()+copy that used to run under the shared stream mutex
+        // (the measured 234 cycles/read serialized fill; see
+        // docs/performance.md "reader thread scaling").  $KVARQ_MMAP=0
+        // falls back to buffered reads.
+        const char* mm = std::getenv("KVARQ_MMAP");
+        struct stat st;
+        if (!(mm && mm[0] == '0')
+                && ::fstat(::fileno(s.f), &st) == 0 && S_ISREG(st.st_mode)
+                && (int64_t)st.st_size == s.fsize) {
+            void* p = ::mmap(nullptr, (size_t)s.fsize, PROT_READ,
+                             MAP_PRIVATE, ::fileno(s.f), 0);
+            if (p != MAP_FAILED) {
+                s.map = (const uint8_t*)p;
+                s.map_size = (size_t)s.fsize;
+#ifdef MADV_SEQUENTIAL
+                ::madvise(p, s.map_size, MADV_SEQUENTIAL);
+#endif
+            }
+        }
+    }
+#endif
     if (s.is_gz) {
         std::memset(&s.zs, 0, sizeof(s.zs));
         // 16+MAX_WBITS: gzip wrapper (header parse incl. extra fields)
@@ -716,6 +761,21 @@ long bgzf_read(Stream& s, uint8_t* out, size_t want, std::string* err) {
 // read up to `want` decompressed bytes from stream; 0 = stream EOF, -1 = error
 long stream_read(Stream& s, uint8_t* out, size_t want, std::string* err) {
     if (!s.is_gz) {
+#ifdef KVARQ_HAVE_MMAP
+        if (s.map) {
+            // buffered consumption of a mapped file (single-threaded
+            // path, or a threaded tail after a partial record): memcpy
+            // from the mapping, no syscall
+            size_t pos = (size_t)s.produced;
+            size_t n = pos < s.map_size ? s.map_size - pos : 0;
+            if (n > want) n = want;
+            std::memcpy(out, s.map + pos, n);
+            s.produced += (long)n;
+            __atomic_fetch_add(&s.compressed_read, (int64_t)n,
+                               __ATOMIC_RELAXED);
+            return (long)n;
+        }
+#endif
         size_t n = std::fread(out, 1, want, s.f);
         s.produced += (long)n;
         __atomic_fetch_add(&s.compressed_read, (int64_t)n,
@@ -1484,9 +1544,116 @@ static void scan_newlines(const uint8_t* base, size_t from, size_t to,
 // :696-718 -- but via exact 4-newline counting instead of the rewind
 // heuristic).  Returns nullptr at EOF / error / stop.
 WorkItem* pull_work(Reader* r) {
+    // in_mtx wait time is THE scaling diagnostic: everything under the
+    // lock (fill/inflate, newline split, span copy) is the serialized
+    // fraction that caps worker fan-out (Amdahl) -- see the nthreads
+    // sweep in docs/performance.md
+    const uint64_t w0 = prof_enabled() ? prof_now() : 0;
     std::unique_lock<std::mutex> l(r->in_mtx);
+    if (w0) r->prof_inwait.fetch_add(prof_now() - w0,
+                                     std::memory_order_relaxed);
     for (;;) {
         if (r->stopping || r->split_failed || r->split_eof) return nullptr;
+#ifdef KVARQ_HAVE_MMAP
+        // zero-copy fast path: buf is drained and the current stream is
+        // an mmap'd plain file -- split records directly on the mapping
+        // and hand the worker a borrowed span.  The only work left under
+        // the lock is the newline scan (~44 cycles/read), against the
+        // ~234 cycles/read of serialized read()+copy the buffered path
+        // pays: this is what lets worker fan-out scale past a few cores
+        // (docs/performance.md "reader thread scaling").
+        while (r->buf_pos == r->buf.size()
+                && r->cur_stream < r->streams.size()) {
+            Stream& s = r->streams[r->cur_stream];
+            if (!s.f) {
+                if (!open_stream(s, &r->error, r->nthreads)) {
+                    r->split_error = r->error;
+                    r->split_failed = true;
+                    r->out_cv.notify_all();
+                    return nullptr;
+                }
+            }
+            if (!s.map) break;
+            size_t pos = (size_t)s.produced;
+            if (pos >= s.map_size) {
+                // exhausted: close and advance HERE (fill_buf's EOF
+                // path), so a following mapped stream enters this fast
+                // path instead of being buffer-copied by fill_buf
+                r->est[r->cur_stream] = s.produced;
+                update_total(r);
+                close_stream(s);
+                r->cur_stream++;
+                continue;
+            }
+            size_t mavail = s.map_size - pos;
+            // compact the drained buf so global offsets stay exact
+            if (r->buf_pos) {
+                r->buf_offset += (int64_t)r->buf_pos;
+                r->buf.clear();
+                r->buf_pos = 0;
+            }
+#ifdef MADV_WILLNEED
+            // async readahead so page faults don't land in the scan
+            if (pos + (32u << 20) > s.map_advised
+                    && s.map_advised < s.map_size) {
+                size_t ahead = s.map_size - s.map_advised;
+                if (ahead > (64u << 20)) ahead = 64u << 20;
+                ::madvise((void*)(s.map + s.map_advised), ahead,
+                          MADV_WILLNEED);
+                s.map_advised += ahead;
+            }
+#endif
+            const uint64_t mt0 = prof_enabled() ? prof_now() : 0;
+            size_t window = mavail < WORKCHUNK ? mavail : WORKCHUNK;
+            std::vector<int32_t> nls;
+            nls.reserve(window / 48 + 8);
+            size_t scan_end = pos + window;
+            for (size_t q = pos; ; ) {
+                scan_newlines(s.map, q, scan_end, pos, &nls);
+                if (nls.size() < 4 && scan_end < pos + mavail) {
+                    // record longer than the window: widen (doubling,
+                    // capped so nl offsets stay within int32)
+                    q = scan_end;
+                    size_t widen = (scan_end - pos) * 2;
+                    if (widen > (1u << 30)) widen = 1u << 30;
+                    size_t lim = mavail < widen ? mavail : widen;
+                    if (scan_end >= pos + lim) break;
+                    scan_end = pos + lim;
+                    continue;
+                }
+                break;
+            }
+            const size_t nrec4m = nls.size() & ~(size_t)3;
+            if (mt0) r->prof_split.fetch_add(prof_now() - mt0,
+                                             std::memory_order_relaxed);
+            if (!nrec4m) {
+                // no complete record left in the mapping: hand the tail
+                // to the buffered path so a record may span into the
+                // next stream (identical to the buffered semantics)
+                r->buf.insert(r->buf.end(), s.map + pos,
+                              s.map + s.map_size);
+                s.produced = (int64_t)s.map_size;
+                __atomic_store_n(&s.compressed_read, s.fsize,
+                                 __ATOMIC_RELAXED);
+                r->parsed = r->buf_offset + (int64_t)r->buf.size();
+                break;
+            }
+            size_t span = (size_t)nls[nrec4m - 1] + 1;
+            nls.resize(nrec4m);
+            WorkItem* it = new WorkItem();
+            it->seq = r->next_split++;
+            it->offset = r->buf_offset;
+            it->ext = s.map + pos;
+            it->ext_len = span;
+            it->nl = std::move(nls);
+            s.produced += (int64_t)span;
+            __atomic_fetch_add(&s.compressed_read, (int64_t)span,
+                               __ATOMIC_RELAXED);
+            r->buf_offset += (int64_t)span;
+            r->parsed = r->buf_offset;
+            return it;
+        }
+#endif
         size_t avail = r->buf.size() - r->buf_pos;
         if (avail < WORKCHUNK && !r->at_eof) {
             const uint64_t t0 = prof_enabled() ? prof_now() : 0;
@@ -1556,8 +1723,8 @@ WorkItem* pull_work(Reader* r) {
 // parse + trim + sieve every record of the item into its local outputs
 void process_item(Reader* r, WorkItem* it) {
     const uint64_t it0 = prof_enabled() ? prof_now() : 0;
-    const uint8_t* b = it->data.data();
-    const size_t len = it->data.size();
+    const uint8_t* b = it->ext ? it->ext : it->data.data();
+    const size_t len = it->ext ? it->ext_len : it->data.size();
 
     // newline positions come from the splitter's scan (pull_work fills
     // it->nl); the fallback scan covers items built by other callers.
@@ -1641,7 +1808,10 @@ long next_threaded(Reader* r, long cap, long lmax, uint8_t* raw,
                     *batch_maxrl = maxrl;
                     return out;   // true EOF
                 }
+                const uint64_t ow0 = prof_enabled() ? prof_now() : 0;
                 r->out_cv.wait(l);
+                if (ow0) r->prof_outwait.fetch_add(
+                    prof_now() - ow0, std::memory_order_relaxed);
             }
             // merge the item's stats in record order
             r->records_parsed = r->records_parsed + r->cur->nrecords;
@@ -1731,9 +1901,14 @@ Reader* kvq_open(const char** fnames, int nfiles, int amin,
     // oversubscription clamp: the reference's default of 8 threads on a
     // 2-core host pays context-switch overhead for nothing (measured
     // ~2-3% at the bench); cap at cores+2 so the pipeline keeps a
-    // producer and a consumer runnable but no more
+    // producer and a consumer runnable but no more.  KVARQ_THREADS_EXACT
+    // disables the clamp (thread-scaling measurements want the exact
+    // requested count, oversubscribed or not -- tools/gz_bench.py --sweep)
+    const char* exact = std::getenv("KVARQ_THREADS_EXACT");
     const unsigned hw = std::thread::hardware_concurrency();
-    if (hw >= 1 && nthreads > (int)hw + 2) nthreads = (int)hw + 2;
+    if (!(exact && exact[0] && exact[0] != '0')
+            && hw >= 1 && nthreads > (int)hw + 2)
+        nthreads = (int)hw + 2;
     if (nthreads < 1) nthreads = 1;
     r->nthreads = nthreads;
     if (parse_cap > 0) r->parse_cap = parse_cap;
@@ -1996,15 +2171,27 @@ void kvq_close(Reader* r) {
         const uint64_t item = r->prof_item.load();
         std::fprintf(stderr,
                      "[kvarq-prof] cycles: fill=%.3g split=%.3g trim=%.3g "
-                     "sieve=%.3g pack=%.3g item_other=%.3g (records=%lld)\n",
+                     "sieve=%.3g pack=%.3g item_other=%.3g inwait=%.3g "
+                     "outwait=%.3g (records=%lld, threads=%d)\n",
                      (double)r->prof_fill.load(), (double)r->prof_split.load(),
                      (double)trim, (double)sieve, (double)r->prof_pack.load(),
                      (double)(item > trim + sieve ? item - trim - sieve : 0),
-                     (long long)r->records_parsed);
+                     (double)r->prof_inwait.load(),
+                     (double)r->prof_outwait.load(),
+                     (long long)r->records_parsed, r->nthreads);
     }
     for (auto& kv : r->completed) delete kv.second;
     delete r->cur;
     for (auto& s : r->streams) close_stream(s);
+#ifdef KVARQ_HAVE_MMAP
+    // unmap LAST: in-flight WorkItems borrow spans from the mappings,
+    // and the workers holding them were joined above
+    for (auto& s : r->streams)
+        if (s.map) {
+            ::munmap((void*)s.map, s.map_size);
+            s.map = nullptr;
+        }
+#endif
     delete r;
 }
 

@@ -77,6 +77,14 @@ def main():
     ap.add_argument('--nthreads', type=int, default=2)
     ap.add_argument('--sieve', action='store_true',
                     help='also run the MTBC k-mer sieve (production path)')
+    ap.add_argument('--sweep', default=None, metavar='N1,N2,...',
+                    help='thread-scaling mode: run the plain (and, with '
+                         '--sweep-gz, the gz) variant at each worker '
+                         'count and print a scaling table (sets '
+                         'KVARQ_THREADS_EXACT so the cores+2 clamp does '
+                         'not rewrite the requested counts)')
+    ap.add_argument('--sweep-gz', action='store_true',
+                    help='include the single-member gz variant in --sweep')
     args = ap.parse_args()
 
     import bench
@@ -115,6 +123,24 @@ def main():
         seqs = [c.plus_seq.bases for c in covs.values()]
         seqs += [c.minus_seq.bases for c in covs.values()]
         sieve = KmerSieve.build(seqs, 2, 25, 25)
+
+    if args.sweep:
+        counts = [int(x) for x in args.sweep.split(',')]
+        os.environ['KVARQ_THREADS_EXACT'] = '1'
+        variants = [('plain', big)] + \
+            ([('gz', big + '.gz')] if args.sweep_gz else [])
+        base_rate = {}
+        print('%-6s %8s %12s %9s %8s'
+              % ('input', 'threads', 'reads/s', 'MB/s', 'scaling'))
+        for label, fname in variants:
+            for nt in counts:
+                nrec, _, parsed, dt = drain(fname, nt, sieve)
+                rate = nrec / dt
+                base_rate.setdefault(label, rate)
+                print('%-6s %8d %12.0f %9.0f %7.2fx'
+                      % (label, nt, rate, parsed / dt / 1e6,
+                         rate / base_rate[label]))
+        return
 
     results = {}
     for label, fname in (('plain', big), ('bgzf', big + '.bgzf.gz'),
