@@ -56,6 +56,10 @@
 #ifdef KVARQ_USE_LIBDEFLATE
 #include <libdeflate.h>   // ~3x zlib inflate; whole-member API only
 #endif
+// fast whole-input DEFLATE decoder for mmap'd single-member gz (the
+// serial-inflate bottleneck): ~2x zlib streaming; self-contained, used
+// by the ring producer whenever the compressed file could be mapped
+#include "kvq_fast_inflate.h"
 
 namespace {
 
@@ -462,12 +466,89 @@ void bg_decode_main(BgDecode* bg, std::string fname, int64_t fsize);
 static int64_t mem_available_bytes();
 #endif
 
+// fast-inflate variant of the ring producer: decodes straight off the
+// stream's mmap'd compressed file (kvq_fast_inflate.h, ~2x zlib) with a
+// 32 KB window kept contiguous before the chunk area.  Same queue
+// protocol, same multi-member / silent-truncation / error-message
+// semantics as the zlib loop below.
+#ifdef KVARQ_HAVE_MMAP
+void ring_fast_main(Stream* s) {
+    RingDecode* rd = s->ring;
+    kvq_fast::Decoder* d = new kvq_fast::Decoder();
+    d->init(s->map, s->map_size);
+    constexpr size_t WIN = 1u << 15;
+    constexpr size_t CH = 1u << 20;
+    std::vector<uint8_t> buf(WIN + CH);
+    size_t hist = 0;
+    for (;;) {
+        long n = kvq_fast::decode_some(d, buf.data() + WIN, CH, hist);
+        std::string err;
+        bool at_end = false;
+        if (n < 0) {
+            err = "error inflating '" + s->fname + "': "
+                + (d->msg ? d->msg : "data error");
+            n = 0;
+        } else {
+            __atomic_store_n(&s->compressed_read,
+                             (int64_t)d->byte_pos(), __ATOMIC_RELAXED);
+            if (d->phase == kvq_fast::PH_DONE
+                    || d->phase == kvq_fast::PH_TRUNC)
+                at_end = true;
+        }
+        std::vector<uint8_t> out;
+        if (n > 0) {
+            out.assign(buf.begin() + WIN, buf.begin() + WIN + n);
+            size_t keep = (size_t)n + hist;
+            if (keep > WIN) keep = WIN;
+            std::memmove(buf.data() + WIN - keep,
+                         buf.data() + WIN + (size_t)n - keep, keep);
+            hist = keep;
+        }
+        std::unique_lock<std::mutex> l(rd->m);
+        rd->cv_space.wait(l, [&] {
+            return rd->abandon || rd->qbytes < RingDecode::MAX_BYTES;
+        });
+        if (rd->abandon) {
+            delete d;
+            return;
+        }
+        if (n > 0) {
+            rd->qbytes += out.size();
+            rd->q.push_back(std::move(out));
+        }
+        if (!err.empty()) {
+            rd->failed = true;
+            rd->error = err;
+            rd->done = true;
+        } else if (at_end) {
+            rd->done = true;
+        }
+        bool finished = rd->done;
+        l.unlock();
+        rd->cv_data.notify_all();
+        if (finished) {
+            delete d;
+            return;
+        }
+    }
+}
+#endif
+
 // body of the RingDecode producer thread: the same zlib streaming loop
 // as the inline path (multi-stream restart, trailing-garbage and error
 // semantics identical) pushing 1 MB chunks into the bounded queue.  Owns
 // s.f / s.zs / s.zin exclusively once started.
 void ring_zlib_main(Stream* s) {
     RingDecode* rd = s->ring;
+#ifdef KVARQ_HAVE_MMAP
+    if (s->map) {
+        const char* ff = std::getenv("KVARQ_FAST_INFLATE");
+        if (!(ff && ff[0] == '0')) {
+            ring_fast_main(s);
+            return;
+        }
+    }
+#endif
     for (;;) {
         std::vector<uint8_t> out(1u << 20);
         size_t got = 0;
@@ -550,13 +631,15 @@ bool open_stream(Stream& s, std::string* err, int nthreads) {
     size_t n = s.fname.size();
     s.is_gz = n > 3 && s.fname.compare(n - 3, 3, ".gz") == 0;
 #ifdef KVARQ_HAVE_MMAP
-    if (!s.is_gz && s.fsize > 0) {
-        // zero-copy path for plain regular files: workers split records
+    if (s.fsize > 0) {
+        // regular files are mmap'd.  Plain FastQ: workers split records
         // straight on the mapping (pull_work), eliminating the
         // read()+copy that used to run under the shared stream mutex
         // (the measured 234 cycles/read serialized fill; see
-        // docs/performance.md "reader thread scaling").  $KVARQ_MMAP=0
-        // falls back to buffered reads.
+        // docs/performance.md "reader thread scaling").  Gzip: the ring
+        // producer's fast whole-input inflate (kvq_fast_inflate.h)
+        // decodes straight off the mapping, ~2x zlib's streaming rate.
+        // $KVARQ_MMAP=0 falls back to buffered reads everywhere.
         const char* mm = std::getenv("KVARQ_MMAP");
         struct stat st;
         if (!(mm && mm[0] == '0')
@@ -633,7 +716,12 @@ bool open_stream(Stream& s, std::string* err, int nthreads) {
         }
         const char* bc = std::getenv("KVARQ_GZ_BGCAP");
         if (bc && bc[0]) bgcap = std::atoll(bc);
-        if (ld_ok && s.fsize > 0 && s.fsize <= bgcap) {
+        // when the ring's fast inflate will run (mapped file), the
+        // whole-file takeover is pure duplicated decode at comparable
+        // speed -- skip it
+        const char* ff2 = std::getenv("KVARQ_FAST_INFLATE");
+        bool fast_ring = s.map && !(ff2 && ff2[0] == '0');
+        if (ld_ok && !fast_ring && s.fsize > 0 && s.fsize <= bgcap) {
             s.bg = new BgDecode();
             s.bg->thr = std::thread(bg_decode_main, s.bg, s.fname, s.fsize);
         }
@@ -1573,7 +1661,7 @@ WorkItem* pull_work(Reader* r) {
                     return nullptr;
                 }
             }
-            if (!s.map) break;
+            if (!s.map || s.is_gz) break;   // gz maps feed the ring only
             size_t pos = (size_t)s.produced;
             if (pos >= s.map_size) {
                 // exhausted: close and advance HERE (fill_buf's EOF

@@ -91,8 +91,12 @@ def _build(lib_path, generic=False):
     # arch flags entirely (pre-AVX2 hosts; the intrinsics are
     # __AVX2__-guarded with scalar fallbacks)
     def variants():
+        # -mpclmul: carry-less multiply for the fast-inflate CRC; not
+        # part of the x86-64-v3 psABI level but universal on AVX2-era
+        # CPUs (the generic build falls back to table CRC)
         archs = [[]] if generic else \
-            [['-march=x86-64-v3', '-mtune=native'], ['-march=native'], []]
+            [['-march=x86-64-v3', '-mpclmul', '-mtune=native'],
+             ['-march=native'], []]
         for arch in archs:
             base = ['g++', '-O3'] + arch + \
                 ['-DKVARQ_SRC_HASH="%s"' % _src_hash(),
