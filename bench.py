@@ -54,7 +54,9 @@ BASELINE_READS_PER_S = 5494.0
 N_READS = int(os.environ.get('KVARQ_BENCH_READS', '2000000'))
 READLEN = int(os.environ.get('KVARQ_BENCH_READLEN', '101'))
 MUTRATE = 0.005         # per-base sequencing-error rate in planted reads
-PLANT_FRAC = 0.03       # fraction of reads drawn from template loci
+# fraction of reads drawn from template loci; raise for hit-dense
+# corpora (e.g. KVARQ_BENCH_PLANT=0.5 with KVARQ_BENCH_MODE=hits)
+PLANT_FRAC = float(os.environ.get('KVARQ_BENCH_PLANT', '0.03'))
 
 
 def load_mtbc():
@@ -117,8 +119,10 @@ def generate_fastq(path, windows, n_reads, readlen, seed=20260817):
 
 
 def bench_path(tag):
+    plant = '' if PLANT_FRAC == 0.03 else '_p%g' % PLANT_FRAC
     return os.path.join(
-        '/tmp', 'kvarq_bench_%s_%dx%d.fastq' % (tag, N_READS, READLEN))
+        '/tmp', 'kvarq_bench_%s_%dx%d%s.fastq'
+        % (tag, N_READS, READLEN, plant))
 
 
 def oracle_basecounts(found, seqs):
@@ -263,21 +267,43 @@ def main():
                   'environmental): %.1fs' % admission_s, file=sys.stderr)
         except Exception:
             pass
-        t0 = time.time()
-        warm = engine.countseqs(wpath, seqs)
-        print('cold-start warmup (incl. compile; persistent cache held '
-              '%d entries): %.1fs' % (n_cached, time.time() - t0),
-              file=sys.stderr)
-        t0 = time.time()
-        engine.countseqs(wpath, seqs)
-        print('warm re-scan of the same prefix: %.1fs' % (time.time() - t0),
-              file=sys.stderr)
-        # bit-exactness gate: the device path must reproduce the numpy
-        # oracle exactly on the warmup prefix -- a miscounting kernel
-        # must fail the bench, not ship a wrong perf number
-        oracle = assert_device_matches_oracle(warm, wpath, seqs)
+        if os.environ.get('KVARQ_BENCH_MODE', 'scan') == 'hits':
+            # hit-path warmup + exactness gate: the device matcher must
+            # reproduce the numpy oracle's hit list on the prefix
+            t0 = time.time()
+            warm = engine.findseqs(wpath, seqs)
+            print('hit-path warmup (incl. compile): %.1fs'
+                  % (time.time() - t0), file=sys.stderr)
+            engine.config(backend='numpy', sieve='off')
+            try:
+                ora = engine.findseqs(wpath, seqs)
+            finally:
+                engine.config(
+                    backend=os.environ.get('KVARQ_BACKEND', 'auto'),
+                    sieve=os.environ.get('KVARQ_SIEVE', 'auto'))
+            if list(warm['hits']) != list(ora['hits']):
+                raise SystemExit('BIT-EXACTNESS FAILURE: hit lists '
+                                 'differ (%d vs %d hits)'
+                                 % (len(warm['hits']), len(ora['hits'])))
+            print('hit-list exactness vs numpy oracle: OK (%d hits)'
+                  % len(ora['hits']), file=sys.stderr)
+        else:
+            t0 = time.time()
+            warm = engine.countseqs(wpath, seqs)
+            print('cold-start warmup (incl. compile; persistent cache '
+                  'held %d entries): %.1fs' % (n_cached, time.time() - t0),
+                  file=sys.stderr)
+            t0 = time.time()
+            engine.countseqs(wpath, seqs)
+            print('warm re-scan of the same prefix: %.1fs'
+                  % (time.time() - t0), file=sys.stderr)
+            # bit-exactness gate: the device path must reproduce the
+            # numpy oracle exactly on the warmup prefix -- a miscounting
+            # kernel must fail the bench, not ship a wrong perf number
+            oracle = assert_device_matches_oracle(warm, wpath, seqs)
 
-        if int(os.environ.get('KVARQ_DRYRUN_REAL', '1')):
+        if (os.environ.get('KVARQ_BENCH_MODE', 'scan') != 'hits'
+                and int(os.environ.get('KVARQ_DRYRUN_REAL', '1'))):
             # the mesh-sharded scan path (shard_map + psum + pallas,
             # interpret=False, check_vma=True) must ALSO run on the real
             # device and reproduce the oracle -- the standing multi-chip
@@ -288,15 +314,23 @@ def main():
     # per-run wall-clock on the shared TPU attachment varies ~2x with
     # external load; report the median of KVARQ_BENCH_RUNS runs as the
     # headline with full dispersion alongside (BENCH schema carries
-    # every run), so round-over-round deltas are interpretable
+    # every run), so round-over-round deltas are interpretable.
+    # KVARQ_BENCH_MODE=hits measures the findseqs (-H/-x hit-list) path
+    # instead of the tensorized countseqs path; combine with
+    # KVARQ_BENCH_PLANT for hit-dense corpora.
+    mode = os.environ.get('KVARQ_BENCH_MODE', 'scan')
     runs = int(os.environ.get('KVARQ_BENCH_RUNS', '5'))
     samples = []
     for _ in range(max(1, runs)):
         t0 = time.time()
-        ret = engine.countseqs(path, seqs)
+        if mode == 'hits':
+            ret = engine.findseqs(path, seqs)
+            nhits = len(ret['hits'])
+        else:
+            ret = engine.countseqs(path, seqs)
+            nhits = int(np.asarray(ret['stats']['nseqhits']).sum())
         dt = time.time() - t0
         nrec = ret['stats']['records_parsed']
-        nhits = int(np.asarray(ret['stats']['nseqhits']).sum())
         print('scanned %d records in %.2fs (%d template hits)'
               % (nrec, dt, nhits), file=sys.stderr)
         samples.append(nrec / dt)
@@ -305,7 +339,8 @@ def main():
     rps = float(np.median(samples))
     peak = samples[-1]
     print(json.dumps({
-        'metric': 'scan_reads_per_s',
+        'metric': 'scan_reads_per_s' if mode != 'hits'
+                  else 'findseqs_reads_per_s',
         'value': round(rps, 1),
         'unit': 'reads/s',
         'vs_baseline': round(rps / BASELINE_READS_PER_S, 2),
@@ -327,6 +362,8 @@ def main():
     # (round-4 spread 14.7%, slowest run 77% of peak).  Strict mode turns
     # a breach into a non-zero exit
     breaches = []
+    if mode == 'hits':
+        return          # floors are calibrated for the countseqs path
     floor = float(os.environ.get('KVARQ_BENCH_FLOOR', '250'))
     if peak < floor * BASELINE_READS_PER_S:
         breaches.append('best run %.0f reads/s is below the %.0fx '

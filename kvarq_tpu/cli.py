@@ -173,10 +173,10 @@ def cmd_scan(args):
     if args.backend:
         engine.config(backend=args.backend)
     if args.mesh:
-        if args.hits or args.extract_hits:
-            lo.error('--mesh scans accumulate coverage on device and '
-                     'cannot materialize a hit list; drop -H/-x')
-            sys.exit(ERROR_COMMAND_LINE_SWITCH)
+        # -H/-x with --mesh routes through the sharded hit matcher
+        # (kvarq_tpu.parallel.ShardedMatcher): candidate kernel over the
+        # mesh, exact rescore on host, hits identical to the unsharded
+        # scan (tests/test_cli.py::test_scan_mesh_hits)
         engine.config(mesh=args.mesh)
 
     if not args.force:

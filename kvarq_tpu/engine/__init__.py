@@ -143,6 +143,17 @@ def stats():
 
 
 def _make_matcher(seqs, backend):
+    spec = str(_extra_config['mesh'] or '').strip().lower()
+    if spec not in ('', 'off', '0', 'no', 'none') and backend != 'numpy':
+        # hit path over a device mesh: sharded candidate kernel + exact
+        # host-side rescore; file_pos stays global because every batch
+        # is read (and its hits emitted) on this host
+        from kvarq_tpu.parallel import ShardedMatcher, parse_mesh
+        mesh = parse_mesh(spec)
+        lo.info('hit scan over a %s mesh (%d devices)'
+                % (dict(mesh.shape), mesh.size))
+        return ShardedMatcher(seqs, _config['maxerrors'],
+                              _config['minoverlap'], mesh=mesh)
     if backend == 'auto':
         backend = _auto_backend()
     if backend == 'numpy':

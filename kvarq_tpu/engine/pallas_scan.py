@@ -276,7 +276,8 @@ def device_arrays(bank, TQ=DEF_TQ):
 
 
 def scan_step(Lpad, bank, T, maxerrors, minoverlap, B,
-              gather_k=1024, interpret=False, TB=DEF_TB, TQ=DEF_TQ):
+              gather_k=768, interpret=False, TB=DEF_TB, TQ=DEF_TQ,
+              with_count=False):
     '''
     full Pallas-backed scan step with the same contract as
     tensor_scan.scan_step_fn: ``step(codes [B, Lpad] u8, rl [B] i32,
@@ -299,7 +300,8 @@ def scan_step(Lpad, bank, T, maxerrors, minoverlap, B,
     inner = scan_step_banked(Lpad, bank.G, qmeta_np.shape[1], T,
                              maxerrors, minoverlap, B, gather_k,
                              interpret, TB, TQ,
-                             nch=bank_channels(bank.codes))
+                             nch=bank_channels(bank.codes),
+                             with_count=with_count)
 
     def step(codes, rl, K, qmeta):
         import jax.numpy as jnp
@@ -309,8 +311,9 @@ def scan_step(Lpad, bank, T, maxerrors, minoverlap, B,
 
 
 def scan_step_banked(Lpad, G, Qp, T, maxerrors, minoverlap, B,
-                     gather_k=1024, interpret=False, TB=DEF_TB,
-                     TQ=DEF_TQ, nch=encode.NBASE, vma=None):
+                     gather_k=768, interpret=False, TB=DEF_TB,
+                     TQ=DEF_TQ, nch=encode.NBASE, vma=None,
+                     with_count=False):
     '''
     bank-agnostic variant of :py:func:`scan_step`: all bank data (K,
     qmeta, tseg) are runtime arguments, so the same traced program can
@@ -325,9 +328,15 @@ def scan_step_banked(Lpad, G, Qp, T, maxerrors, minoverlap, B,
 
     Bp = max(_ceil_to(B, TB), TB)
 
-    kcall = match_cand_call(Lpad, Qp, Bp, maxerrors, minoverlap,
-                            TB, TQ, interpret, nch, vma)
-    gather_k = min(gather_k, Bp)
+    # dense mode (gather_k 0/None): hit-dense workloads where virtually
+    # every read is a candidate -- the screening kernel and the
+    # compaction are pure overhead there, so the step is just the exact
+    # full-batch scoring pass.  TensorScanner switches here terminally
+    # when the observed candidate count overflows every gather bucket.
+    dense = not gather_k or gather_k >= Bp
+    kcall = None if dense else match_cand_call(
+        Lpad, Qp, Bp, maxerrors, minoverlap, TB, TQ, interpret, nch, vma)
+    gather_k = min(gather_k or Bp, Bp)
 
     def fold(RTw):
         RTw = RTw.reshape(Lpad, encode.NBASE, Qp)
@@ -345,30 +354,12 @@ def scan_step_banked(Lpad, G, Qp, T, maxerrors, minoverlap, B,
                             constant_values=encode.CODE_READ_JUNK)
         rl2d = jnp.broadcast_to(rl[:, None], (Bp, 128))
 
-        hitpart = kcall(read_flat, rl2d, K, qmeta)
-
         # exact stats + coverage over the compacted candidate reads
         # (sparse in real data); the coverage pass one-hots the full 5
         # channels -- read N bases count as coverage + mutations --
         # against K's nch channels for matching
         meta = (qmeta[ROW_D:ROW_D + 1], qmeta[ROW_SEQL:ROW_SEQL + 1],
                 qmeta[ROW_VALID:ROW_VALID + 1])
-        hit_b = jnp.sum(hitpart, axis=0)                     # [Bp]
-        count = jnp.sum((hit_b > 0).astype(jnp.int32))
-        (idx,) = jnp.nonzero(hit_b > 0, size=gather_k, fill_value=0)
-        fill = (jnp.arange(gather_k) < count)
-        rg = read_flat[idx] * fill[:, None].astype(jnp.bfloat16)
-        rg5 = jax.nn.one_hot(codes[idx], encode.NBASE, dtype=jnp.bfloat16) \
-            .reshape(gather_k, Lpad * encode.NBASE) \
-            * fill[:, None].astype(jnp.bfloat16)
-        rlg = (rl[idx] * fill)[:, None]
-
-        def score_gathered(_):
-            m = jnp.dot(rg, K, preferred_element_type=jnp.float32)
-            w, ov = mode_weights(m, rlg, *meta, maxerrors, minoverlap)
-            RTw = jnp.dot(rg5.T, w.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
-            return RTw, jnp.sum(w, axis=0), jnp.sum(w * ov, axis=0)
 
         def score_full(_):
             m = jnp.dot(read_flat, K, preferred_element_type=jnp.float32)
@@ -380,10 +371,40 @@ def scan_step_banked(Lpad, G, Qp, T, maxerrors, minoverlap, B,
                           preferred_element_type=jnp.float32)
             return RTw, jnp.sum(w, axis=0), jnp.sum(w * ov, axis=0)
 
-        RTw, w_q, wov_q = lax.cond(count <= gather_k,
-                                   score_gathered, score_full, None)
+        if dense:
+            count = jnp.zeros((), dtype=jnp.int32)
+            RTw, w_q, wov_q = score_full(None)
+        else:
+            hitpart = kcall(read_flat, rl2d, K, qmeta)
+            hit_b = jnp.sum(hitpart, axis=0)                 # [Bp]
+            count = jnp.sum((hit_b > 0).astype(jnp.int32))
+            (idx,) = jnp.nonzero(hit_b > 0, size=gather_k, fill_value=0)
+            fill = (jnp.arange(gather_k) < count)
+            rg = read_flat[idx] * fill[:, None].astype(jnp.bfloat16)
+            rg5 = jax.nn.one_hot(codes[idx], encode.NBASE,
+                                 dtype=jnp.bfloat16) \
+                .reshape(gather_k, Lpad * encode.NBASE) \
+                * fill[:, None].astype(jnp.bfloat16)
+            rlg = (rl[idx] * fill)[:, None]
+
+            def score_gathered(_):
+                m = jnp.dot(rg, K, preferred_element_type=jnp.float32)
+                w, ov = mode_weights(m, rlg, *meta, maxerrors,
+                                     minoverlap)
+                RTw = jnp.dot(rg5.T, w.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+                return RTw, jnp.sum(w, axis=0), jnp.sum(w * ov, axis=0)
+
+            RTw, w_q, wov_q = lax.cond(count <= gather_k,
+                                       score_gathered, score_full, None)
         seqhits = jax.ops.segment_sum(w_q, tseg, num_segments=T + 1)
         seqbasehits = jax.ops.segment_sum(wov_q, tseg, num_segments=T + 1)
-        return fold(RTw).astype(jnp.float32), seqhits, seqbasehits
+        bc = fold(RTw).astype(jnp.float32)
+        if with_count:
+            # per-dispatch candidate count: drives TensorScanner's
+            # adaptive gather_k (piggybacked on the accumulator flush,
+            # zero extra round trips)
+            return bc, seqhits, seqbasehits, count
+        return bc, seqhits, seqbasehits
 
     return step

@@ -60,13 +60,21 @@ def mode_weights(matches, rl_col, d_row, seql_row, valid_row,
     duplicate) and i32 overlap length per (read, shift).  See
     kvarq_tpu.engine.hitmodel for the semantics
     (reference workhorse.c:1107-1174).
+
+    All [B, Q]-sized arithmetic runs in **f32** -- every quantity is an
+    integer < 2^21, exact in f32, and the VPU runs integer elementwise
+    chains ~10x slower than float ones (measured: the same gating in
+    i32 cost 0.26 s vs 0.025 s per 1.2k x 40k tile).  Outputs cast back
+    to i32 so downstream seqhits/seqbasehits accumulation stays exact
+    past 2^24.
     '''
     import jax.numpy as jnp
 
-    d = d_row
-    seql = seql_row
-    rl_ = rl_col
-    mo = minoverlap
+    f32 = jnp.float32
+    d = d_row.astype(f32)
+    seql = seql_row.astype(f32)
+    rl_ = rl_col.astype(f32)
+    mo = float(minoverlap)
 
     # reduced closed form of the four-mode enumeration (see
     # kvarq_tpu.engine.hitmodel; exhaustively checked equivalent in
@@ -77,8 +85,8 @@ def mode_weights(matches, rl_col, d_row, seql_row, valid_row,
     # -- roughly half the per-element VPU ops of the naive four-window
     # gating, which otherwise rivals the MXU contraction in kernel time.
     t1 = d + rl_
-    ov = jnp.minimum(seql, t1) - jnp.maximum(0, d)
-    mism = ov - matches.astype(jnp.int32)
+    ov = jnp.minimum(seql, t1) - jnp.maximum(0., d)
+    mism = ov - matches.astype(f32)
 
     ab = (rl_ > mo) & (seql > mo)
     govmo = ov >= mo
@@ -87,10 +95,9 @@ def mode_weights(matches, rl_col, d_row, seql_row, valid_row,
     full = ov == jnp.minimum(rl_, seql)
 
     passing = (valid_row > 0) & (rl_ > 0) & (mism <= maxerrors)
-    nmodes = (wA.astype(jnp.int32) + wB.astype(jnp.int32)
-              + full.astype(jnp.int32))
-    w = jnp.where(passing, nmodes, 0)
-    return w, ov
+    nmodes = (wA.astype(f32) + wB.astype(f32) + full.astype(f32))
+    w = jnp.where(passing, nmodes, 0.)
+    return w.astype(jnp.int32), ov.astype(jnp.int32)
 
 
 def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
@@ -190,26 +197,40 @@ def scan_step_fn(Lpad, G, T, maxerrors, minoverlap, dtype_name='bfloat16',
 @functools.lru_cache(maxsize=None)
 def _pack_fn():
     ''' jitted packer: (basecount f32 [5,G], seqhits i32 [T+1],
-        seqbasehits i32 [T+1]) -> one flat i32 array (basecount
-        bitcast, so all values round-trip exactly) '''
+        seqbasehits i32 [T+1], candmax i32 scalar) -> one flat i32
+        array (basecount bitcast, so all values round-trip exactly) '''
     import jax
     import jax.numpy as jnp
 
-    def pack(bc, sh, sbh):
+    def pack(bc, sh, sbh, cm):
         return jnp.concatenate([
             jax.lax.bitcast_convert_type(bc.reshape(-1), jnp.int32),
-            sh, sbh])
+            sh, sbh, cm.reshape(1)])
 
     return jax.jit(pack)
 
 
-def _pack_acc(bc, sh, sbh):
-    return _pack_fn()(bc, sh, sbh)
+def _pack_acc(bc, sh, sbh, cm):
+    return _pack_fn()(bc, sh, sbh, cm)
+
+
+def default_gather_k():
+    ''' resolve $KVARQ_GATHER_K: an explicit integer pins the compacted
+        exact-scoring width; ``auto`` (the default) starts at the
+        measured optimum 768 (BASELINE.md device row: 114.3 vs 110.5
+        TFLOP/s at the former 1024) and lets TensorScanner adapt upward
+        when the observed candidate count overflows it '''
+    v = os.environ.get('KVARQ_GATHER_K', 'auto').strip().lower()
+    if v in ('', 'auto'):
+        return 768, True
+    if v in ('0', 'off', 'dense'):
+        return 0, False          # dense mode: no screen, exact full pass
+    return int(v), False
 
 
 @functools.lru_cache(maxsize=8)
 def _cached_context(seqs, Lpad, maxerrors, minoverlap, backend, platform,
-                    fuse):
+                    fuse, gather_k=None):
     '''
     (bank, device arrays, jitted accumulate-step, device batch size) for a
     template bank + scan config.  Cached at module level so repeated scans
@@ -237,14 +258,18 @@ def _cached_context(seqs, Lpad, maxerrors, minoverlap, backend, platform,
         arrays = pallas_scan.device_arrays(bank)
         # gather_k bounds the exact-scoring pass to the compacted
         # candidate reads; its two [gather_k, .] matmuls cost
-        # 2*gather_k/sub of the candidate kernel, so 1024 keeps the
-        # overhead at ~12% while being >20 sigma above the candidate
-        # count of hit-rich unsieved data (3% of 16384 = 492 +- 22);
-        # overflow falls back to the exact full-batch scoring pass
+        # 2*gather_k/sub of the candidate kernel.  The measured-optimal
+        # default is 768 (12 sigma above the 3% candidate count of
+        # hit-rich unsieved data, 492 +- 22; 9.4% overhead, +3.8 TFLOP/s
+        # over the former 1024); overflow falls back to the exact
+        # full-batch scoring pass, and TensorScanner adapts the width
+        # upward from the observed candidate counts (with_count)
+        if gather_k is None:
+            gather_k = default_gather_k()[0]
         step = pallas_scan.scan_step(
             Lpad, bank, T, maxerrors, minoverlap, sub,
-            gather_k=int(os.environ.get('KVARQ_GATHER_K', '1024')),
-            interpret=(platform == 'cpu'))
+            gather_k=gather_k,
+            interpret=(platform == 'cpu'), with_count=True)
     else:
         arrays = bank_device_arrays(bank)
         dtype = 'float32' if platform == 'cpu' else 'bfloat16'
@@ -254,15 +279,24 @@ def _cached_context(seqs, Lpad, maxerrors, minoverlap, backend, platform,
         step = scan_step_fn(Lpad, bank.G, T, maxerrors, minoverlap,
                             dtype_name=dtype, gather_k=gather_k)
 
-    def step_acc(codes, rl, acc_bc, acc_sh, acc_sbh, **arrays):
+    def step_acc(codes, rl, acc_bc, acc_sh, acc_sbh, acc_cm, **arrays):
+        import jax.numpy as jnp
+
         def body(carry, xs):
-            bc, sh, sbh = carry
-            dbc, dsh, dsbh = step(xs[0], xs[1], **arrays)
-            return (bc + dbc, sh + dsh, sbh + dsbh), None
-        carry, _ = lax.scan(body, (acc_bc, acc_sh, acc_sbh), (codes, rl))
+            bc, sh, sbh, cm = carry
+            out = step(xs[0], xs[1], **arrays)
+            if len(out) == 4:              # pallas: candidate count
+                dbc, dsh, dsbh, count = out
+            else:
+                dbc, dsh, dsbh = out
+                count = jnp.zeros((), dtype=jnp.int32)
+            return (bc + dbc, sh + dsh, sbh + dsbh,
+                    jnp.maximum(cm, count)), None
+        carry, _ = lax.scan(body, (acc_bc, acc_sh, acc_sbh, acc_cm),
+                            (codes, rl))
         return carry
 
-    return (bank, arrays, jax.jit(step_acc, donate_argnums=(2, 3, 4)),
+    return (bank, arrays, jax.jit(step_acc, donate_argnums=(2, 3, 4, 5)),
             sub)
 
 
@@ -300,6 +334,13 @@ class TensorScanner:
         # k-mer sieve active (the default) full sub-batches are rare, so
         # fusing would mostly pad junk; raise for sieve-less bulk scans.
         self.fuse = int(os.environ.get('KVARQ_FUSE_STEPS', '1'))
+        # compacted exact-scoring width (pallas): start at the measured
+        # optimum; in auto mode the observed per-dispatch candidate
+        # count (piggybacked on the accumulator) grows it when a
+        # workload is hit-dense enough to overflow -- each overflowed
+        # dispatch pays the full-batch scoring fallback, so a persistent
+        # overflow is worth one recompile
+        self.gather_k, self._gather_auto = default_gather_k()
         self._ctx = {}
         self.reset()
 
@@ -316,18 +357,52 @@ class TensorScanner:
         if Lpad not in self._ctx:
             bank, arrays, step, sub = _cached_context(
                 tuple(self.seqs), Lpad, self.maxerrors, self.minoverlap,
-                self.backend, self.platform, self.fuse)
+                self.backend, self.platform, self.fuse, self.gather_k)
             self._ctx[Lpad] = dict(
                 bank=bank, arrays=arrays, sub=sub, step=step,
-                acc=None, steps=0, pending=[])
+                acc=None, steps=0, pending=[], peeked=False)
         return self._ctx[Lpad]
+
+    # gather_k growth buckets; a workload overflowing even the last
+    # bucket goes terminally to dense mode (gather_k 0: the screening
+    # kernel and compaction are dropped, every dispatch runs the exact
+    # full-batch pass directly)
+    GATHER_BUCKETS = (768, 1536, 3072, 6144)
+
+    def _adapt_gather(self, Lpad, candmax):
+        ''' grow gather_k when the observed per-dispatch candidate count
+            overflows it (auto mode); returns True when the context was
+            rebuilt (recompile -- amortized by the persistent cache) '''
+        if not self._gather_auto or self.backend != 'pallas':
+            return False
+        if self.gather_k == 0:
+            return False         # dense mode is terminal
+        want = int(candmax + 8 * np.sqrt(max(candmax, 1)) + 64)
+        if want <= self.gather_k:
+            return False
+        new = next((b for b in self.GATHER_BUCKETS if b >= want), 0)
+        if new and new <= self.gather_k:
+            return False
+        from kvarq_tpu.log import lo
+        lo.info('gather_k %d -> %s (observed %d candidates/dispatch)'
+                % (self.gather_k, new if new else 'dense',
+                   candmax))
+        self.gather_k = new
+        for lp in list(self._ctx):
+            # flush accumulators into the host state, then rebuild the
+            # context against the new width
+            self._dispatch(lp)
+            self._flush(lp, adapt=False)
+            del self._ctx[lp]
+        return True
 
     def _zero_acc(self, ctx):
         import jax.numpy as jnp
         return (jnp.zeros((encode.NBASE, ctx['bank'].G),
                           dtype=jnp.float32),
                 jnp.zeros(self.T + 1, dtype=jnp.int32),
-                jnp.zeros(self.T + 1, dtype=jnp.int32))
+                jnp.zeros(self.T + 1, dtype=jnp.int32),
+                jnp.zeros((), dtype=jnp.int32))
 
     def _dispatch(self, Lpad):
         ''' stack the pending sub-batches (padding with empty reads up to
@@ -353,13 +428,22 @@ class TensorScanner:
             jax.device_put(codes), jax.device_put(rl), *ctx['acc'],
             **ctx['arrays'])
         ctx['steps'] += self.fuse
+        if self._gather_auto and not ctx['peeked']:
+            # one early candidate-count peek per context (a single
+            # scalar readback): a hit-dense workload overflows from the
+            # very first dispatch, and adapting now saves paying the
+            # full-batch fallback for all of FLUSH_STEPS dispatches
+            ctx['peeked'] = True
+            candmax = int(np.asarray(ctx['acc'][3]))
+            if self._adapt_gather(Lpad, candmax):
+                return
         if ctx['steps'] >= self.FLUSH_STEPS:
             self._flush(Lpad)
 
-    def _flush(self, Lpad):
+    def _flush(self, Lpad, adapt=True):
         ''' move device accumulators into the exact host-side int64/float64
             accumulators (folding the pallas contraction on host).  The
-            three accumulators are packed into ONE flat device array
+            accumulators are packed into ONE flat device array
             first, so the readback costs a single transfer round trip --
             on networked TPU attachments each np.asarray() is its own
             ~45 ms round trip, and this tail lands on the critical path
@@ -367,8 +451,8 @@ class TensorScanner:
         ctx = self._ctx[Lpad]
         if ctx['acc'] is None:
             return
-        acc_bc, acc_sh, acc_sbh = ctx['acc']
-        flat = np.asarray(_pack_acc(acc_bc, acc_sh, acc_sbh))
+        acc_bc, acc_sh, acc_sbh, acc_cm = ctx['acc']
+        flat = np.asarray(_pack_acc(acc_bc, acc_sh, acc_sbh, acc_cm))
         nbc = acc_bc.size
         host = self.basecounts.setdefault(
             Lpad, np.zeros((encode.NBASE, ctx['bank'].G), dtype=np.float64))
@@ -377,8 +461,11 @@ class TensorScanner:
         self.seqhits += flat[nbc:nbc + self.T].astype(np.int64)
         self.seqbasehits += \
             flat[nbc + self.T + 1:nbc + 2 * self.T + 1].astype(np.int64)
+        candmax = int(flat[-1])
         ctx['acc'] = None
         ctx['steps'] = 0
+        if adapt:
+            self._adapt_gather(Lpad, candmax)
 
     def finalize(self):
         ''' dispatch any buffered sub-batches and flush all device

@@ -239,6 +239,201 @@ def sharded_scan_step_pallas(mesh, Lpad, G, Qp, T, maxerrors, minoverlap,
     return jax.jit(mapped)
 
 
+def sharded_hit_flags_step(mesh, Lpad, Qp, B_local, maxerrors, minoverlap,
+                           interpret=False, TB=None, TQ=None,
+                           nch=encode.NBASE):
+    '''
+    shard_map'd candidate-flag step for the mesh hit path (findseqs with
+    ``--mesh``): ``flags(codes [B, Lpad] u8, rl [B] i32, K [nb, ., Qp],
+    qmeta [nb, 8, Qp]) -> [B] i32`` -- 1 where the fused kernel flags
+    the read against ANY bank shard (flag counts psum over 'bank').
+    ``B`` must equal ``B_local * n_data``.
+    '''
+    import jax
+    from jax import lax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from kvarq_tpu.engine import pallas_scan
+
+    check_vma = not interpret    # see sharded_scan_step_pallas
+    tb = TB or pallas_scan.DEF_TB
+    Bp = -(-B_local // tb) * tb  # kernel batch rows, tile-aligned
+    kcall = pallas_scan.match_cand_call(
+        Lpad, Qp, Bp, maxerrors, minoverlap,
+        tb, TQ or pallas_scan.DEF_TQ,
+        interpret, nch, ('data', 'bank') if check_vma else None)
+
+    def shard_fn(codes, rl, K, qmeta):
+        if check_vma:
+            pvary = getattr(lax, 'pcast', None)
+            if pvary is not None:
+                codes = pvary(codes, 'bank', to='varying')
+                rl = pvary(rl, 'bank', to='varying')
+                K, qmeta = (pvary(x, 'data', to='varying')
+                            for x in (K, qmeta))
+            else:
+                codes = lax.pvary(codes, 'bank')
+                rl = lax.pvary(rl, 'bank')
+                K, qmeta = (lax.pvary(x, 'data') for x in (K, qmeta))
+        rl = rl.astype(jnp.int32)
+        if Bp != B_local:   # pad rows to the kernel tile (rl=0 gates out)
+            codes = jnp.pad(codes, ((0, Bp - B_local), (0, 0)),
+                            constant_values=encode.CODE_READ_JUNK)
+            rl = jnp.pad(rl, (0, Bp - B_local))
+        read_flat = jax.nn.one_hot(codes, nch, dtype=jnp.bfloat16) \
+            .reshape(-1, Lpad * nch)
+        rl2d = jnp.broadcast_to(rl[:, None], (Bp, 128))
+        hitpart = kcall(read_flat, rl2d, K[0], qmeta[0])
+        flags = (jnp.sum(hitpart, axis=0) > 0).astype(jnp.int32)
+        return lax.psum(flags[:B_local], 'bank')
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P('data'), P('data'), P('bank'), P('bank')),
+        out_specs=P('data'), check_vma=check_vma)
+    return jax.jit(mapped)
+
+
+def sharded_hit_flags_step_xla(mesh, Lpad, G, B_local, maxerrors,
+                               minoverlap, dtype_name='float32'):
+    ''' XLA variant of :py:func:`sharded_hit_flags_step` (CPU meshes /
+        non-pallas platforms): dense per-shard match counts + the exact
+        mode weights; a read flags iff it actually hits some template '''
+    import jax
+    from jax import lax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from kvarq_tpu.engine.tensor_scan import mode_weights
+
+    dtype = jnp.dtype(dtype_name)
+    L = Lpad
+    Q = G + Lpad - 1
+
+    def shard_fn(codes, rl, bank_oh, d_of, seql_of, tid, valid_q):
+        read_flat = jax.nn.one_hot(codes, encode.NBASE, dtype=dtype) \
+            .reshape(-1, L * encode.NBASE)
+        bankpad = jnp.pad(bank_oh[0], ((0, 0), (L - 1, L - 1)))
+        K = jnp.stack([bankpad[:, j:j + Q] for j in range(L)])
+        K = K.reshape(L * encode.NBASE, Q)
+        matches = jnp.dot(read_flat, K,
+                          preferred_element_type=jnp.float32)
+        w, _ = mode_weights(
+            matches, rl[:, None].astype(jnp.int32), d_of[0][None, :],
+            seql_of[0][None, :], valid_q[0][None, :].astype(jnp.int32),
+            maxerrors, minoverlap)
+        flags = (jnp.sum(w, axis=1) > 0).astype(jnp.int32)
+        return lax.psum(flags, 'bank')
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P('data'), P('data'),
+                  P('bank'), P('bank'), P('bank'), P('bank'), P('bank')),
+        out_specs=P('data'))
+    return jax.jit(mapped)
+
+
+class ShardedMatcher:
+    ''' mesh-sharded counterpart of
+        :py:class:`kvarq_tpu.engine.match_pallas.PallasMatcher` for the
+        hit-list path (``findseqs`` under ``--mesh``): the candidate
+        kernel runs sharded over the ('data', 'bank') mesh, the flagged
+        (sparse) reads are compacted on host and re-scored exactly by the
+        full-bank XlaMatcher -- triplets, and therefore Hit.file_pos,
+        are identical to the unsharded scan (the batch never leaves this
+        host, so its global stream offsets stay valid). '''
+
+    MIN_LPAD = 128
+
+    def __init__(self, seqs, maxerrors, minoverlap, mesh=None,
+                 b_local=2048, TB=None, TQ=None, backend=None):
+        import os
+        import jax
+        from kvarq_tpu.engine.match_xla import XlaMatcher
+        self.seqs = list(seqs)
+        self.maxerrors = maxerrors
+        self.minoverlap = minoverlap
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_data = self.mesh.shape['data']
+        self.n_bank = self.mesh.shape['bank']
+        self.platform = jax.default_backend()
+        backend = backend or os.environ.get('KVARQ_TENSOR_BACKEND', 'auto')
+        if backend == 'auto':
+            backend = 'xla' if self.platform == 'cpu' else 'pallas'
+        self.backend = backend
+        self.xla = XlaMatcher(seqs, maxerrors, minoverlap)
+        self.b_local = b_local
+        self.TB = TB
+        self.TQ = TQ
+        self._ctx = {}
+
+    def _context(self, Lpad):
+        if Lpad not in self._ctx:
+            from kvarq_tpu.engine import pallas_scan
+            bank = ShardBank(self.seqs, Lpad, self.n_bank,
+                             self.minoverlap)
+            if self.backend == 'pallas':
+                arrays, Qp = bank.pallas_device_arrays(
+                    len(self.seqs), self.TQ or pallas_scan.DEF_TQ)
+                step = sharded_hit_flags_step(
+                    self.mesh, Lpad, Qp, self.b_local, self.maxerrors,
+                    self.minoverlap, interpret=(self.platform == 'cpu'),
+                    TB=self.TB, TQ=self.TQ, nch=bank.channels())
+                args = ('K', 'qmeta')
+            else:
+                dtype = 'float32' if self.platform == 'cpu' \
+                    else 'bfloat16'
+                arrays = bank.device_arrays(dtype)
+                step = sharded_hit_flags_step_xla(
+                    self.mesh, Lpad, bank.G, self.b_local,
+                    self.maxerrors, self.minoverlap, dtype_name=dtype)
+                args = ('bank_oh', 'd_of', 'seql_of', 'tid', 'valid_q')
+            self._ctx[Lpad] = (bank, arrays, step, args,
+                               self.b_local * self.n_data)
+        return self._ctx[Lpad]
+
+    def match_batch(self, batch):
+        import numpy as np
+        from kvarq_tpu.engine.reader import RecordBatch
+        B, Lpad = batch.codes.shape
+        if Lpad < self.MIN_LPAD:
+            codes = np.full((B, self.MIN_LPAD), encode.CODE_READ_JUNK,
+                            dtype=np.uint8)
+            codes[:, :Lpad] = batch.codes
+            batch = RecordBatch(codes, batch.rl, batch.filepos,
+                                batch.raw)
+            Lpad = self.MIN_LPAD
+        bank, arrays, step, argnames, chunk = self._context(Lpad)
+        if bank.G == 0:
+            return np.empty((0, 3), dtype=np.int64)
+
+        hit_idx = []
+        for lo_ in range(0, B, chunk):
+            hi = min(B, lo_ + chunk)
+            codes = batch.codes[lo_:hi]
+            rl = batch.rl[lo_:hi].astype(np.int32)
+            if len(codes) < chunk:
+                pad = chunk - len(codes)
+                codes = np.concatenate(
+                    [codes, np.full((pad, Lpad), encode.CODE_READ_JUNK,
+                                    dtype=np.uint8)])
+                rl = np.concatenate([rl, np.zeros(pad, dtype=np.int32)])
+            flags = np.asarray(step(codes, rl,
+                                    *(arrays[a] for a in argnames)))
+            hit_idx.append(np.flatnonzero(flags[:hi - lo_] > 0) + lo_)
+
+        hit_idx = np.concatenate(hit_idx) if hit_idx else \
+            np.empty(0, dtype=np.int64)
+        if not len(hit_idx):
+            return np.empty((0, 3), dtype=np.int64)
+        compacted = RecordBatch(
+            batch.codes[hit_idx], batch.rl[hit_idx],
+            batch.filepos[hit_idx], batch.raw[hit_idx])
+        tri = self.xla.match_batch(compacted)
+        if len(tri):
+            tri[:, 0] = hit_idx[tri[:, 0]]
+        return tri
+
+
 class ShardedScanner:
     ''' multi-device counterpart of
         :py:class:`kvarq_tpu.engine.tensor_scan.TensorScanner`: accumulates

@@ -104,6 +104,124 @@ def sample_max_readlen(fnames, n_records=4096):
     return mx
 
 
+def findseqs_sharded(fnames, seqs, maxerrors, minoverlap, minreadlength,
+                     Amin, nthreads=8, stats=None, batchsize=16384,
+                     backend=None):
+    '''
+    hit-list scan of a corpus sharded across hosts (the ``findseqs``
+    counterpart of :py:func:`scan_sharded`): every host scans its own
+    file shard with a local matcher -- hits need no collective compute,
+    only a merge -- and each hit's ``file_pos`` is **rebased into the
+    global concatenated-stream coordinates** a single-host
+    ``findseqs(fnames)`` reports (reference workhorse.c:1587-1593
+    semantics, the SURVEY §7 hard part): files are scanned one at a
+    time, so each host knows its files' exact decompressed lengths;
+    those allgather into global per-file offsets, local positions shift
+    by their file's offset, and the merged hit list (ordered by global
+    file order, then in-file emission order) is identical on every
+    host.
+
+    :returns: ``(hits, hitseqs)`` -- same contents as
+        ``engine.findseqs(fnames, seqs)['hits'/'hitseqs']``.
+    '''
+    import jax
+    from jax.experimental import multihost_utils
+    from kvarq_tpu import engine as _engine
+    from kvarq_tpu.engine.sieve import KmerSieve
+
+    nproc = jax.process_count()
+    fnames = list(fnames)
+    mine = set(shard_files(fnames)) if nproc > 1 else set(fnames)
+
+    platform = jax.default_backend()
+    backend = backend or ('xla' if platform == 'cpu' else 'pallas')
+    if backend == 'pallas':
+        from kvarq_tpu.engine.match_pallas import PallasMatcher as M
+    elif backend == 'numpy':
+        from kvarq_tpu.engine.match_numpy import NumpyMatcher as M
+    else:
+        from kvarq_tpu.engine.match_xla import XlaMatcher as M
+    seqs = list(seqs)
+    matcher = M(seqs, maxerrors, minoverlap)
+    sieve = KmerSieve.build(seqs, maxerrors, minoverlap, minreadlength)
+    seqlens = [len(s) for s in seqs]
+    stats = stats if stats is not None else reader.ReaderStats()
+    # _emit maintains the engine's live per-template counters; size them
+    # for this bank (the engine sizes them inside findseqs itself)
+    _engine._seqhits = np.zeros(len(seqs), dtype=np.int64)
+    _engine._seqbasehits = np.zeros(len(seqs), dtype=np.int64)
+
+    flens = np.zeros(len(fnames), dtype=np.int64)
+    per_file = []                     # (global file idx, hits, hitseqs)
+    for i, fname in enumerate(fnames):
+        if fname not in mine:
+            continue
+        fstats = reader.ReaderStats()
+        hits, hitseqs = [], []
+        for batch in reader.prefetch(reader.batches(
+                [fname], ord(Amin), minreadlength, fstats,
+                batchsize=batchsize, sieve=sieve, nthreads=nthreads)):
+            _engine._emit(matcher.match_batch(batch), batch, seqlens,
+                          minoverlap, hits, hitseqs)
+        flens[i] = fstats.parsed      # exact decompressed length
+        stats.records_parsed += fstats.records_parsed
+        stats.parsed += fstats.parsed
+        stats.total += fstats.parsed
+        stats.rls += fstats.rls
+        stats.rls_longest = max(stats.rls_longest, fstats.rls_longest)
+        per_file.append((i, hits, hitseqs))
+
+    if nproc > 1:                     # each host filled only its files
+        flens = np.asarray(multihost_utils.process_allgather(flens)) \
+            .sum(axis=0)
+    offs = np.concatenate([[0], np.cumsum(flens)[:-1]])
+
+    # flatten local hits with (file idx, in-file order) merge keys
+    rows, blobs = [], []
+    for i, hits, hitseqs in per_file:
+        for j, (h, hs) in enumerate(zip(hits, hitseqs)):
+            b = hs.encode('latin-1')
+            rows.append((i, j, h.seq_nr, h.file_pos + offs[i],
+                         h.seq_pos, h.length, h.readlength, len(b)))
+            blobs.append(b)
+    arr = np.asarray(rows, dtype=np.int64).reshape(-1, 8)
+    blob = b''.join(blobs)
+
+    if nproc > 1:
+        counts = np.asarray(multihost_utils.process_allgather(
+            np.asarray([len(arr), len(blob)], dtype=np.int64)))
+        maxn = int(counts[:, 0].max())
+        maxb = int(max(counts[:, 1].max(), 1))
+        pad_arr = np.zeros((max(maxn, 1), 8), dtype=np.int64)
+        pad_arr[:len(arr)] = arr
+        pad_blob = np.zeros(maxb, dtype=np.uint8)
+        pad_blob[:len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+        all_arr = np.asarray(multihost_utils.process_allgather(pad_arr))
+        all_blob = np.asarray(multihost_utils.process_allgather(pad_blob))
+        parts = []
+        for p in range(nproc):
+            n = int(counts[p, 0])
+            rows_p = all_arr[p, :n]
+            blob_p = all_blob[p, :int(counts[p, 1])].tobytes()
+            ends = np.cumsum(rows_p[:, 7])
+            starts = ends - rows_p[:, 7]
+            parts.append((rows_p,
+                          [blob_p[s:e] for s, e in zip(starts, ends)]))
+        arr = np.concatenate([r for r, _ in parts]) \
+            if parts else arr
+        blobs = [b for _, bs in parts for b in bs]
+    # global order: file order, then in-file emission order
+    order = np.lexsort((arr[:, 1], arr[:, 0])) if len(arr) else []
+    hits_out, hitseqs_out = [], []
+    from kvarq_tpu.engine import Hit
+    for k in order:
+        i, j, seq_nr, fpos, seq_pos, length, rl, _ = arr[k]
+        hits_out.append(Hit(int(seq_nr), int(fpos), int(seq_pos),
+                            int(length), int(rl)))
+        hitseqs_out.append(blobs[k].decode('latin-1'))
+    return tuple(hits_out), hitseqs_out
+
+
 def scan_sharded(fnames, seqs, maxerrors, minoverlap, minreadlength,
                  Amin, mesh=None, nthreads=8, Lpad=None, b_local=2048,
                  stats=None, backend=None):

@@ -245,10 +245,31 @@ def test_scan_mesh(tmp_path):
             assert data['coverages'] == ref['coverages'], mesh
             assert data['stats']['nseqhits'] == ref['stats']['nseqhits']
 
-        # --mesh is incompatible with the hit-list flags
-        main(['scan', '-l', 'MTBC/phylo', '-f', '--mesh', 'auto', '-H',
-              MTBC_fastq2, str(tmp_path / 'x.json')],
-             err=kvarq_tpu.cli.ERROR_COMMAND_LINE_SWITCH)
+    finally:
+        from kvarq_tpu import engine
+        engine.config(mesh='')
+        lo.setLevel(logging.INFO)
+
+
+def test_scan_mesh_hits(tmp_path):
+    ''' --mesh with -H (the sharded hit path, parallel.ShardedMatcher):
+        the hit list -- including every file_pos -- must be identical to
+        the unsharded -H scan '''
+    import json
+    lo.setLevel(logging.WARNING)
+    try:
+        jref = str(tmp_path / 'single.json')
+        main(['scan', '-l', 'MTBC/phylo', '-f', '-H', MTBC_fastq2, jref])
+        ref = json.load(open(jref))
+        assert ref['hits']                   # fixture produces hits
+
+        jpath = str(tmp_path / 'mesh_hits.json')
+        main(['scan', '-l', 'MTBC/phylo', '-f', '--mesh', '4x2', '-H',
+              MTBC_fastq2, jpath])
+        data = json.load(open(jpath))
+        assert data['hits'] == ref['hits']
+        assert data['analyses'] == ref['analyses']
+        assert data['stats']['nseqhits'] == ref['stats']['nseqhits']
     finally:
         from kvarq_tpu import engine
         engine.config(mesh='')

@@ -148,3 +148,85 @@ def test_two_process_scan_matches_single(corpus):
     for i, bc in enumerate(ret['basecounts']):
         assert np.array_equal(np.asarray(bc, np.int64),
                               r0['c%d' % i].astype(np.int64)), i
+
+
+def test_findseqs_sharded_single_process(corpus):
+    ''' the hit-list corpus scan (single-process degenerate mode) must
+        reproduce engine.findseqs of the concatenated files exactly --
+        hits, file_pos, hitseqs '''
+    f1, f2, seqs, spath, tmp = corpus
+    os.environ['KVARQ_MESH'] = ''
+    from kvarq_tpu import engine
+    from kvarq_tpu.parallel import multihost
+    engine.config(maxerrors=2, minoverlap=25, minreadlength=25,
+                  nthreads=2, Amin=chr(33 + 13), mesh='')
+    ref = engine.findseqs([f1, f2], seqs)
+    hits, hitseqs = multihost.findseqs_sharded(
+        [f1, f2], seqs, maxerrors=2, minoverlap=25, minreadlength=25,
+        Amin=chr(33 + 13), nthreads=2)
+    assert len(ref['hits']) > 0
+    assert list(hits) == list(ref['hits'])
+    assert hitseqs == ref['hitseqs']
+
+
+FINDSEQS_WORKER = '''
+import os, sys
+import numpy as np
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+out = sys.argv[3]
+fastqs = sys.argv[4].split(',')
+seqs = open(sys.argv[5]).read().split()
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+
+from kvarq_tpu.parallel import multihost
+
+multihost.initialize(coordinator_address='localhost:' + port,
+                     num_processes=2, process_id=pid)
+hits, hitseqs = multihost.findseqs_sharded(
+    fastqs, seqs, maxerrors=2, minoverlap=25, minreadlength=25,
+    Amin=chr(33 + 13), nthreads=2)
+np.savez(out, hits=np.asarray([tuple(h) for h in hits], dtype=np.int64),
+         hitseqs=np.asarray(hitseqs, dtype=object), allow_pickle=True)
+'''
+
+
+def test_two_process_findseqs_matches_single(corpus):
+    ''' two jax.distributed processes scanning their own file shards
+        merge a hit list identical to the single-process scan of the
+        concatenated corpus -- incl. globally rebased file_pos '''
+    f1, f2, seqs, spath, tmp = corpus
+    port = str(_free_port())
+    wpath = str(tmp / 'worker_hits.py')
+    with open(wpath, 'w') as f:
+        f.write(FINDSEQS_WORKER)
+
+    env = dict(os.environ, PYTHONPATH=ROOT, JAX_PLATFORMS='cpu',
+               KVARQ_MESH='')
+    outs = [str(tmp / ('hits_%d.npz' % i)) for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, wpath, str(i), port, outs[i],
+         ','.join([f1, f2]), spath],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+
+    r0 = np.load(outs[0], allow_pickle=True)
+    r1 = np.load(outs[1], allow_pickle=True)
+    assert np.array_equal(r0['hits'], r1['hits'])
+
+    from kvarq_tpu import engine
+    engine.config(maxerrors=2, minoverlap=25, minreadlength=25,
+                  nthreads=2, Amin=chr(33 + 13), mesh='')
+    ref = engine.findseqs([f1, f2], seqs)
+    want = np.asarray([tuple(h) for h in ref['hits']], dtype=np.int64)
+    assert len(want) > 0
+    assert np.array_equal(r0['hits'], want)
+    assert list(r0['hitseqs']) == ref['hitseqs']

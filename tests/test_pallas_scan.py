@@ -106,3 +106,28 @@ def test_pallas_gather_fallback():
     out = pstep(jnp.asarray(codes), jnp.asarray(rl), **arrays)
     for a, b in zip(ref, out):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_dense_mode():
+    ''' gather_k=0 (the terminal adaptive state for hit-dense workloads)
+        drops the screening kernel entirely and must still be exact '''
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(13)
+    Lpad, B = 64, 16
+    seqs, codes, rl, _ = _random_case(rng, nseq=4, B=B, Lpad=Lpad)
+    T = len(seqs)
+    bank = build_bank(seqs, Lpad, 10)
+
+    xla_step = scan_step_fn(Lpad, bank.G, T, 1, 10, dtype_name='float32')
+    ref = xla_step(jnp.asarray(codes), jnp.asarray(rl),
+                   **bank_device_arrays(bank, dtype=jnp.float32))
+
+    pstep = pallas_scan.scan_step(Lpad, bank, T, 1, 10, B,
+                                  gather_k=0, interpret=True,
+                                  TB=8, TQ=128, with_count=True)
+    arrays = pallas_scan.device_arrays(bank, TQ=128)
+    out = pstep(jnp.asarray(codes), jnp.asarray(rl), **arrays)
+    assert int(np.asarray(out[3])) == 0      # dense mode reports no count
+    for a, b in zip(ref, out[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -165,3 +165,61 @@ def test_multihost_shard_files():
     assert flat == sorted(names)          # partition, no dup/loss
     # deterministic across calls
     assert shards == [multihost.shard_files(names, p, 3) for p in range(3)]
+
+
+@pytest.mark.parametrize('n_data,n_bank,backend',
+                         [(4, 2, 'xla'), (8, 1, 'xla'), (2, 2, 'pallas')])
+def test_sharded_matcher_parity(n_data, n_bank, backend):
+    ''' ShardedMatcher (the --mesh hit path) returns exactly the numpy
+        matcher's (read, template, shift) triplets for every mesh shape
+        and both flag backends '''
+    import jax
+    if len(jax.devices()) < n_data * n_bank:
+        pytest.skip('needs %d (virtual) devices' % (n_data * n_bank))
+    from kvarq_tpu.engine.match_numpy import NumpyMatcher
+
+    fname = os.path.join(FASTQS, 'test_engine.fastq')
+    plus = ['CACCGGTGTAGGCAAGTCGTAACAAGG', 'TTTTTTTTTTGGGGGGGGGG',
+            'CCCC', 'CCC']
+    seqs = plus + [_revcomp(s) for s in plus]
+
+    engine.config(maxerrors=1, minoverlap=5, minreadlength=5, Amin='!')
+    mesh = parallel.make_mesh(n_data, n_bank)
+    kw = dict(b_local=8, TB=8, TQ=128) if backend == 'pallas' \
+        else dict(b_local=16)
+    matcher = parallel.ShardedMatcher(seqs, 1, 5, mesh=mesh,
+                                      backend=backend, **kw)
+    ref = NumpyMatcher(seqs, 1, 5)
+
+    stats = reader.ReaderStats()
+    for batch in reader.batches([fname], ord('!'), 5, stats,
+                                batchsize=32):
+        want = sorted(map(tuple, ref.match_batch(batch)))
+        got = sorted(map(tuple, matcher.match_batch(batch)))
+        assert got == want
+
+
+def test_findseqs_mesh_equals_plain():
+    ''' engine.findseqs with a mesh configured equals the plain scan:
+        same hits (incl. file_pos), same stats '''
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 (virtual) devices')
+
+    fname = os.path.join(FASTQS, 'test_engine.fastq')
+    seqs = ['CACCGGTGTAGGCAAGTCGTAACAAGG', 'TTTTTTTTTTGGGGGGGGGG']
+
+    engine.config(maxerrors=1, minoverlap=5, minreadlength=5, Amin='!')
+    try:
+        engine.config(mesh='')
+        ref = engine.findseqs(fname, seqs)
+        engine.config(mesh='4x2')
+        got = engine.findseqs(fname, seqs)
+    finally:
+        engine.config(mesh='')
+    assert [h._asdict() if hasattr(h, '_asdict') else tuple(h)
+            for h in got['hits']] == \
+        [h._asdict() if hasattr(h, '_asdict') else tuple(h)
+         for h in ref['hits']]
+    assert got['hitseqs'] == ref['hitseqs']
+    assert got['stats']['nseqhits'] == ref['stats']['nseqhits']

@@ -184,3 +184,40 @@ def test_mode_weights_closed_form():
                 np.testing.assert_array_equal(
                     w[bi], ref.astype(np.float32),
                     err_msg='rl=%d seql=%d mo=%d' % (rl, seql, mo))
+
+
+def test_gather_k_default_and_buckets(monkeypatch):
+    ''' KVARQ_GATHER_K parsing + the adaptive upward bucket policy
+        (hardware integration is exercised by bench.py's bit-exactness
+        gate on the real device, where a dense warmup logs the switch) '''
+    from kvarq_tpu.engine import tensor_scan
+
+    monkeypatch.delenv('KVARQ_GATHER_K', raising=False)
+    assert tensor_scan.default_gather_k() == (768, True)
+    monkeypatch.setenv('KVARQ_GATHER_K', '1024')
+    assert tensor_scan.default_gather_k() == (1024, False)
+    monkeypatch.setenv('KVARQ_GATHER_K', 'auto')
+    assert tensor_scan.default_gather_k() == (768, True)
+
+    monkeypatch.delenv('KVARQ_GATHER_K', raising=False)
+    sc = TensorScanner(['CACCGGTGTAGGCAAGTCGTAACAAGG'], 1, 5)
+    sc.backend = 'pallas'         # policy test only; no device dispatch
+    sc._gather_auto = True
+    sc.gather_k = 768
+    # below the margin: no change
+    assert not sc._adapt_gather(128, 500)
+    assert sc.gather_k == 768
+    # overflow: next bucket that clears mean + 8*sqrt + 64
+    assert sc._adapt_gather(128, 900)
+    assert sc.gather_k == 1536
+    assert sc._adapt_gather(128, 5000)
+    assert sc.gather_k == 6144
+    # beyond the last bucket: terminal dense mode (no screen/compaction)
+    assert sc._adapt_gather(128, 16000)
+    assert sc.gather_k == 0
+    assert not sc._adapt_gather(128, 16000)
+    # pinned mode never adapts
+    sc._gather_auto = False
+    sc.gather_k = 768
+    assert not sc._adapt_gather(128, 16000)
+    assert sc.gather_k == 768

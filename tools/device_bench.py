@@ -87,7 +87,8 @@ def main():
         import jax.numpy as jnp
         return (jnp.zeros((encode.NBASE, bank.G), dtype=jnp.float32),
                 jnp.zeros(len(seqs) + 1, dtype=jnp.int32),
-                jnp.zeros(len(seqs) + 1, dtype=jnp.int32))
+                jnp.zeros(len(seqs) + 1, dtype=jnp.int32),
+                jnp.zeros((), dtype=jnp.int32))   # candmax
 
     t0 = time.time()
     acc = step(dcodes, drl, *zero_acc(), **arrays)

@@ -75,6 +75,18 @@ def main():
     print('findseqs (hit-list) graphs compiled in %.1fs (%d hits)'
           % (time.time() - t0, len(ret['hits'])))
 
+    # candidate-dense warmup: sieved production batches are nearly all
+    # candidates, so TensorScanner's adaptive gather_k switches to dense
+    # mode on its first dispatch -- seed that executable too, or the
+    # first real scan pays its compile mid-run
+    bench.PLANT_FRAC = 0.9
+    dpath = '/tmp/kvarq_seed_dense.fastq'
+    bench.generate_fastq(dpath, windows, 40960, 101)
+    t0 = time.time()
+    ret = engine.countseqs(dpath, seqs)
+    print('dense-mode scan graph compiled in %.1fs (%d hits)'
+          % (time.time() - t0, int(sum(ret['stats']['nseqhits']))))
+
     entries = sorted(os.listdir(SEED_DIR))
     total = sum(os.path.getsize(os.path.join(SEED_DIR, e))
                 for e in entries)
