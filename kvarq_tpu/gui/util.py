@@ -4,6 +4,7 @@ derives from, a scrolled listbox/text factory (used by the launcher and
 the explorers), a tiny background-job dialog and small dialog helpers.
 '''
 
+import os
 import threading
 import tkinter as tk
 import tkinter.filedialog as tkfiledialog
@@ -40,6 +41,17 @@ class ThemedTk(tk.Tk):
         tk.Tk.__init__(self)
         self.wm_title('KvarQ-TPU %s%s'
                       % (VERSION, ' -- ' + title if title else ''))
+        try:
+            # window icon (the reference ships res/TPH_DNA.ico; ours is
+            # kvarq_tpu/gui/res/icon.png, tools/make_icon.py); cosmetic,
+            # so any failure -- headless test Tk fakes, exotic window
+            # managers, stripped installs -- is silently ignored
+            icon = os.path.join(os.path.dirname(__file__), 'res',
+                                'icon.png')
+            self._iconphoto_ref = tk.PhotoImage(file=icon)
+            self.iconphoto(True, self._iconphoto_ref)
+        except Exception:
+            pass
 
         self.monospace = tkfont.Font(self, family='Courier New',
                                      weight=tkfont.BOLD)

@@ -68,8 +68,9 @@ setup(
     # precompiled XLA executables ship inside the package so a
     # first-ever scan on a fresh machine starts in seconds.
     package_data={
-        'kvarq_tpu': ['_precompiled/*-cache'],
+        'kvarq_tpu': ['_precompiled/*-cache', 'gui/res/*.png'],
         '': ['../csrc/reader.cpp', '../csrc/kvq_inflate.h',
+             '../csrc/kvq_fast_inflate.h',
              '../csrc/_reader.so',
              '../testsuites/*.md',
              '../testsuites/MTBC/*.py', '../testsuites/MTBC/*.md',

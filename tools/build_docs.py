@@ -77,6 +77,15 @@ def build():
             fd.write(PAGE.format(title=title, nav=nav, body=body))
         print('wrote', os.path.relpath(out, ROOT))
 
+    # static assets (diagrams): docs/res/* -> _build/html/res/
+    res = os.path.join(DOCS, 'res')
+    if os.path.isdir(res):
+        out_res = os.path.join(OUT, 'res')
+        os.makedirs(out_res, exist_ok=True)
+        for f in os.listdir(res):
+            shutil.copy2(os.path.join(res, f), os.path.join(out_res, f))
+            print('copied res/%s' % f)
+
     print('%d pages -> %s' % (len(pages), os.path.relpath(OUT, ROOT)))
 
 
