@@ -510,8 +510,14 @@ inline int read_dynamic_tables(Decoder* d) {
         refill(d);
         uint32_t e = cl_table[d->buf & 127];
         int bl = (int)(e & 63);
-        if (!bl || d->cnt < bl)
-            return bl ? 0 : fail(d, "invalid code lengths set");
+        if (!bl) {
+            // unassigned pattern: only a definite data error when all
+            // 7 possible code bits are present -- fewer available bits
+            // mean the true (longer) code was cut off by truncation
+            return d->cnt >= 7 ? fail(d, "invalid code lengths set") : 0;
+        }
+        if (d->cnt < bl)
+            return 0;
         uint32_t sym = e >> 16;
         if (sym < 16) {
             d->buf >>= bl;
@@ -605,8 +611,11 @@ inline void copy_match(uint8_t* out, size_t pos, uint32_t dist,
 // decode into out[0..out_cap); `hist` bytes of already-produced output
 // sit directly BEFORE out (back-reference window; the caller maintains
 // >= 32 KB once available).  Returns bytes produced (suspend on
-// output-full / clean end / truncation -- distinguish via phase), or
-// -1 on data error (msg set).
+// output-full / clean end / truncation / data error -- distinguish via
+// phase); a data error first DELIVERS the bytes decoded before it
+// (phase PH_ERR, msg set) and only a subsequent call returns -1, so
+// callers can parse the valid prefix before surfacing the error
+// (zlib-ring parity).
 inline long decode_some(Decoder* d, uint8_t* out, size_t out_cap,
                         size_t hist) {
     // symbol fastpath needs len(<=258) + 16 headroom; stored blocks
@@ -631,7 +640,13 @@ inline long decode_some(Decoder* d, uint8_t* out, size_t out_cap,
                 return (long)pos;
             }
             int r = parse_header(d);
-            if (r < 0) return -1;
+            if (r < 0) {
+                // deliver the bytes decoded before the error (zlib
+                // ring parity: it pushes the chunk, THEN reports); the
+                // next call returns -1 from PH_ERR
+                flush_crc(pos);
+                return (long)pos;
+            }
             if (r == 0) {                 // truncated header
                 d->phase = PH_TRUNC;
                 flush_crc(pos);
@@ -664,8 +679,11 @@ inline long decode_some(Decoder* d, uint8_t* out, size_t out_cap,
                 uint32_t nlen = (uint32_t)d->p[2]
                               | ((uint32_t)d->p[3] << 8);
                 d->p += 4;
-                if (len != (~nlen & 0xFFFF))
-                    return fail(d, "invalid stored block lengths");
+                if (len != (~nlen & 0xFFFF)) {
+                    fail(d, "invalid stored block lengths");
+                    flush_crc(pos);
+                    return (long)pos;
+                }
                 d->stored_left = len;
                 d->phase = PH_STORED;
             } else if (type == 1) {
@@ -673,7 +691,10 @@ inline long decode_some(Decoder* d, uint8_t* out, size_t out_cap,
                 d->phase = PH_HUF;
             } else if (type == 2) {
                 int r = read_dynamic_tables(d);
-                if (r < 0) return -1;
+                if (r < 0) {
+                    flush_crc(pos);
+                    return (long)pos;
+                }
                 if (r == 0) {
                     d->phase = PH_TRUNC;
                     flush_crc(pos);
@@ -681,7 +702,9 @@ inline long decode_some(Decoder* d, uint8_t* out, size_t out_cap,
                 }
                 d->phase = PH_HUF;
             } else {
-                return fail(d, "invalid block type");
+                fail(d, "invalid block type");
+                flush_crc(pos);
+                return (long)pos;
             }
             break;
         }
@@ -745,7 +768,11 @@ inline long decode_some(Decoder* d, uint8_t* out, size_t out_cap,
                 int bl = (int)(e & 63);
                 if ((e & 0xF000u) == 0) {        // literal (or invalid)
                     if (bl == 0 || lcnt < bl) {
-                        if (bl == 0) { result = -1;
+                        // an unassigned pattern is only a definite
+                        // error with all 15 possible code bits present;
+                        // zero-padded truncated tails must end silently
+                        // (zlib ring parity)
+                        if (bl == 0 && lcnt >= 15) { result = -1;
                             fail(d, "invalid literal/length code"); }
                         else result = 2;   // starved: truncated input
                         break;
@@ -827,8 +854,12 @@ inline long decode_some(Decoder* d, uint8_t* out, size_t out_cap,
                     lbuf >>= eb;
                     lcnt -= dbl + eb;
                 } else {
-                    result = -1;
-                    fail(d, "invalid distance code");
+                    // unassigned distance pattern: definite error only
+                    // with all 15 possible code bits present (else the
+                    // input was truncated mid-code)
+                    if (lcnt >= 15) { result = -1;
+                        fail(d, "invalid distance code"); }
+                    else result = 2;
                     break;
                 }
 
@@ -849,8 +880,8 @@ inline long decode_some(Decoder* d, uint8_t* out, size_t out_cap,
             d->cnt = lcnt;
             d->p = lp;
             d->member_out = win_base + (uint64_t)(pos - start);
-            if (result == -1) { flush_crc(pos); return -1; }
             flush_crc(pos);
+            if (result == -1) return (long)pos;   // error held in PH_ERR
             if (result == 0) return (long)pos;          // output full
             if (result == 2) {
                 // starved mid-symbol: only truncation can cause this
@@ -876,10 +907,14 @@ inline long decode_some(Decoder* d, uint8_t* out, size_t out_cap,
                               | ((uint32_t)q[7] << 24);
             d->p += 8;
             flush_crc(pos);
-            if (want_crc != (d->crc ^ 0xFFFFFFFFu))
-                return fail(d, "incorrect data check");
-            if (want_isz != (uint32_t)d->member_out)
-                return fail(d, "incorrect length check");
+            if (want_crc != (d->crc ^ 0xFFFFFFFFu)) {
+                fail(d, "incorrect data check");
+                return (long)pos;
+            }
+            if (want_isz != (uint32_t)d->member_out) {
+                fail(d, "incorrect length check");
+                return (long)pos;
+            }
             d->phase = PH_HEADER;        // maybe another member
             break;
         }

@@ -494,6 +494,12 @@ void ring_fast_main(Stream* s) {
             if (d->phase == kvq_fast::PH_DONE
                     || d->phase == kvq_fast::PH_TRUNC)
                 at_end = true;
+            else if (d->phase == kvq_fast::PH_ERR)
+                // the error call delivered its valid prefix (n bytes);
+                // push those for parsing, then surface the error --
+                // exactly like the zlib loop's out.resize(got) + err
+                err = "error inflating '" + s->fname + "': "
+                    + (d->msg ? d->msg : "data error");
         }
         std::vector<uint8_t> out;
         if (n > 0) {

@@ -390,10 +390,16 @@ class TensorScanner:
         self.gather_k = new
         for lp in list(self._ctx):
             # flush accumulators into the host state, then rebuild the
-            # context against the new width
+            # context IN PLACE against the new width -- deleting entries
+            # would break finalize()/coverages(), which dereference
+            # self._ctx[Lpad] for every Lpad already scanned
             self._dispatch(lp)
             self._flush(lp, adapt=False)
-            del self._ctx[lp]
+            bank, arrays, step, sub = _cached_context(
+                tuple(self.seqs), lp, self.maxerrors, self.minoverlap,
+                self.backend, self.platform, self.fuse, self.gather_k)
+            self._ctx[lp].update(bank=bank, arrays=arrays, step=step,
+                                 sub=sub, acc=None, steps=0, pending=[])
         return True
 
     def _zero_acc(self, ctx):

@@ -294,40 +294,41 @@ def sharded_hit_flags_step(mesh, Lpad, Qp, B_local, maxerrors, minoverlap,
     return jax.jit(mapped)
 
 
-def sharded_hit_flags_step_xla(mesh, Lpad, G, B_local, maxerrors,
-                               minoverlap, dtype_name='float32'):
+def sharded_hit_flags_step_xla(mesh, Lpad, Qp, B_local, maxerrors,
+                               minoverlap, nch=encode.NBASE,
+                               dtype_name='float32'):
     ''' XLA variant of :py:func:`sharded_hit_flags_step` (CPU meshes /
-        non-pallas platforms): dense per-shard match counts + the exact
-        mode weights; a read flags iff it actually hits some template '''
+        non-pallas platforms): dense per-shard match counts against the
+        precomputed im2col K (built once per bank on host --
+        ShardBank.pallas_device_arrays -- NOT re-derived inside the jit,
+        which would re-materialize the [L*nch, Qp] stack every dispatch)
+        + the exact mode weights; a read flags iff it actually hits '''
     import jax
     from jax import lax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
+    from kvarq_tpu.engine.pallas_scan import ROW_D, ROW_SEQL, ROW_VALID
     from kvarq_tpu.engine.tensor_scan import mode_weights
 
     dtype = jnp.dtype(dtype_name)
-    L = Lpad
-    Q = G + Lpad - 1
 
-    def shard_fn(codes, rl, bank_oh, d_of, seql_of, tid, valid_q):
-        read_flat = jax.nn.one_hot(codes, encode.NBASE, dtype=dtype) \
-            .reshape(-1, L * encode.NBASE)
-        bankpad = jnp.pad(bank_oh[0], ((0, 0), (L - 1, L - 1)))
-        K = jnp.stack([bankpad[:, j:j + Q] for j in range(L)])
-        K = K.reshape(L * encode.NBASE, Q)
-        matches = jnp.dot(read_flat, K,
+    def shard_fn(codes, rl, K, qmeta):
+        read_flat = jax.nn.one_hot(codes, nch, dtype=dtype) \
+            .reshape(-1, Lpad * nch)
+        matches = jnp.dot(read_flat, K[0].astype(dtype),
                           preferred_element_type=jnp.float32)
         w, _ = mode_weights(
-            matches, rl[:, None].astype(jnp.int32), d_of[0][None, :],
-            seql_of[0][None, :], valid_q[0][None, :].astype(jnp.int32),
+            matches, rl[:, None].astype(jnp.int32),
+            qmeta[0][ROW_D:ROW_D + 1],
+            qmeta[0][ROW_SEQL:ROW_SEQL + 1],
+            qmeta[0][ROW_VALID:ROW_VALID + 1],
             maxerrors, minoverlap)
         flags = (jnp.sum(w, axis=1) > 0).astype(jnp.int32)
         return lax.psum(flags, 'bank')
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P('data'), P('data'),
-                  P('bank'), P('bank'), P('bank'), P('bank'), P('bank')),
+        in_specs=(P('data'), P('data'), P('bank'), P('bank')),
         out_specs=P('data'))
     return jax.jit(mapped)
 
@@ -371,23 +372,21 @@ class ShardedMatcher:
             from kvarq_tpu.engine import pallas_scan
             bank = ShardBank(self.seqs, Lpad, self.n_bank,
                              self.minoverlap)
+            arrays, Qp = bank.pallas_device_arrays(
+                len(self.seqs), self.TQ or pallas_scan.DEF_TQ)
             if self.backend == 'pallas':
-                arrays, Qp = bank.pallas_device_arrays(
-                    len(self.seqs), self.TQ or pallas_scan.DEF_TQ)
                 step = sharded_hit_flags_step(
                     self.mesh, Lpad, Qp, self.b_local, self.maxerrors,
                     self.minoverlap, interpret=(self.platform == 'cpu'),
                     TB=self.TB, TQ=self.TQ, nch=bank.channels())
-                args = ('K', 'qmeta')
             else:
                 dtype = 'float32' if self.platform == 'cpu' \
                     else 'bfloat16'
-                arrays = bank.device_arrays(dtype)
                 step = sharded_hit_flags_step_xla(
-                    self.mesh, Lpad, bank.G, self.b_local,
-                    self.maxerrors, self.minoverlap, dtype_name=dtype)
-                args = ('bank_oh', 'd_of', 'seql_of', 'tid', 'valid_q')
-            self._ctx[Lpad] = (bank, arrays, step, args,
+                    self.mesh, Lpad, Qp, self.b_local,
+                    self.maxerrors, self.minoverlap,
+                    nch=bank.channels(), dtype_name=dtype)
+            self._ctx[Lpad] = (bank, arrays, step, ('K', 'qmeta'),
                                self.b_local * self.n_data)
         return self._ctx[Lpad]
 

@@ -58,9 +58,11 @@ def initialize(**kwargs):
     return jax.process_index(), jax.process_count()
 
 
-def shard_files(fnames, process_id=None, num_processes=None):
+def shard_file_indices(fnames, process_id=None, num_processes=None):
     ''' deterministic per-host file assignment, balanced by file size
-        (largest-first greedy); every host must call with the same list '''
+        (largest-first greedy); every host must call with the same
+        list.  Returns *indices* into ``fnames`` so duplicate filenames
+        stay distinct assignments. '''
     import os
     import jax
     if process_id is None:
@@ -75,8 +77,15 @@ def shard_files(fnames, process_id=None, num_processes=None):
         host = loads.index(min(loads))
         loads[host] += size
         if host == process_id:
-            mine.append(fnames[i])
+            mine.append(i)
     return mine
+
+
+def shard_files(fnames, process_id=None, num_processes=None):
+    ''' :py:func:`shard_file_indices`, resolved back to filenames '''
+    return [fnames[i]
+            for i in shard_file_indices(fnames, process_id,
+                                        num_processes)]
 
 
 def sample_max_readlen(fnames, n_records=4096):
@@ -131,7 +140,10 @@ def findseqs_sharded(fnames, seqs, maxerrors, minoverlap, minreadlength,
 
     nproc = jax.process_count()
     fnames = list(fnames)
-    mine = set(shard_files(fnames)) if nproc > 1 else set(fnames)
+    # membership by INDEX: duplicate filenames in the corpus must each
+    # be scanned exactly once globally
+    mine_idx = set(shard_file_indices(fnames)) if nproc > 1 \
+        else set(range(len(fnames)))
 
     platform = jax.default_backend()
     backend = backend or ('xla' if platform == 'cpu' else 'pallas')
@@ -154,7 +166,7 @@ def findseqs_sharded(fnames, seqs, maxerrors, minoverlap, minreadlength,
     flens = np.zeros(len(fnames), dtype=np.int64)
     per_file = []                     # (global file idx, hits, hitseqs)
     for i, fname in enumerate(fnames):
-        if fname not in mine:
+        if i not in mine_idx:
             continue
         fstats = reader.ReaderStats()
         hits, hitseqs = [], []

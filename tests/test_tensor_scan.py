@@ -221,3 +221,42 @@ def test_gather_k_default_and_buckets(monkeypatch):
     sc.gather_k = 768
     assert not sc._adapt_gather(128, 16000)
     assert sc.gather_k == 768
+
+
+def test_adapt_gather_rebuilds_in_place(monkeypatch):
+    ''' mid-scan gather_k adaptation must keep every Lpad context alive:
+        finalize()/coverages() dereference self._ctx[Lpad] for all
+        already-scanned buckets (regression: contexts were deleted,
+        crashing coverages() with KeyError after a full corpus scan) '''
+    from kvarq_tpu.engine import tensor_scan
+
+    fname = os.path.join(FASTQS, 'test_engine.fastq')
+    seqs = ['CACCGGTGTAGGCAAGTCGTAACAAGG', 'CCC']
+    engine.config(maxerrors=1, minoverlap=5, minreadlength=5, Amin='!')
+    ref_bcs, _ = _hitpath_basecounts(fname, seqs)
+
+    sc = TensorScanner(seqs, 1, 5)
+    stats = reader.ReaderStats()
+    for batch in reader.batches([fname], ord('!'), 5, stats):
+        sc.scan_batch(batch)
+    sc.finalize()
+
+    # simulate the overflow-driven switch on the live scanner (the
+    # pallas/candmax plumbing needs hardware; the rebuild path is
+    # backend-agnostic once entered)
+    (lpad,) = sc._ctx.keys()
+    sc.backend = 'pallas'
+    sc._gather_auto = True
+    sc.gather_k = 768
+    real = tensor_scan._cached_context
+
+    def fake_ctx(seqs_t, lp, me, mo, backend, platform, fuse, gk=None):
+        ctx = sc._ctx[lp]
+        return ctx['bank'], ctx['arrays'], ctx['step'], ctx['sub']
+    monkeypatch.setattr(tensor_scan, '_cached_context', fake_ctx)
+    assert sc._adapt_gather(lpad, 5000)
+    assert lpad in sc._ctx                 # context survived the switch
+    monkeypatch.setattr(tensor_scan, '_cached_context', real)
+
+    for r, g in zip(ref_bcs, sc.coverages()):   # no KeyError, exact
+        assert np.array_equal(r, g.astype(np.int64))

@@ -93,6 +93,11 @@ static int fast_decode(const std::vector<uint8_t>& comp,
                 *truncated = d.phase == kvq_fast::PH_TRUNC;
             return 0;
         }
+        if (d.phase == kvq_fast::PH_ERR) {
+            // errors deliver their valid prefix first, then report
+            *err = d.msg ? d.msg : "?";
+            return -1;
+        }
         if (n == 0) {
             *err = "no progress";
             return -1;
@@ -196,6 +201,53 @@ static void run_matrix() {
             CHECK(got.size() <= payload.size(), "truncated size");
             CHECK(std::memcmp(got.data(), payload.data(),
                               got.size()) == 0, "truncated prefix");
+        }
+    }
+
+    // truncation at EVERY byte boundary must end silently -- never a
+    // data error: a zero-padded partial code can index an unassigned
+    // (e.g. RFC-reserved fixed-code) table pattern, which is only a
+    // definite error when all its bits are really present.  Covers
+    // stored (level 0), fixed (Z_FIXED) and dynamic blocks.
+    {
+        std::vector<uint8_t> payload = make_fastq(60, &rng);
+        std::vector<std::vector<uint8_t>> comps;
+        comps.push_back(gzip_compress(payload, 0, false));
+        comps.push_back(gzip_compress(payload, 6, false));
+        {   // fixed-Huffman member (deflate strategy Z_FIXED)
+            z_stream zs;
+            std::memset(&zs, 0, sizeof zs);
+            deflateInit2(&zs, 6, Z_DEFLATED, 16 + MAX_WBITS, 8,
+                         Z_FIXED);
+            std::vector<uint8_t> out(
+                deflateBound(&zs, (uLong)payload.size()) + 64);
+            zs.next_in = (Bytef*)payload.data();
+            zs.avail_in = (uInt)payload.size();
+            zs.next_out = out.data();
+            zs.avail_out = (uInt)out.size();
+            deflate(&zs, Z_FINISH);
+            out.resize(out.size() - zs.avail_out);
+            deflateEnd(&zs);
+            comps.push_back(out);
+        }
+        for (auto& comp : comps) {
+            for (size_t cut = 0; cut < comp.size(); cut++) {
+                std::vector<uint8_t> part(comp.begin(),
+                                          comp.begin() + cut);
+                std::vector<uint8_t> got;
+                std::string err;
+                bool trunc = false;
+                int rc = fast_decode(part, &got, 4096, &err, &trunc);
+                CHECK(rc == 0, "every-byte truncation");
+                if (rc != 0) {
+                    std::fprintf(stderr, "  cut=%zu err=%s\n", cut,
+                                 err.c_str());
+                    break;
+                }
+                CHECK(got.size() <= payload.size(), "trunc size");
+                CHECK(std::memcmp(got.data(), payload.data(),
+                                  got.size()) == 0, "trunc prefix");
+            }
         }
     }
 
