@@ -158,3 +158,95 @@ def test_fuzz_adversarial_combined(tmp_path):
         assert np.array_equal(a[0], b[0]), trial
         assert np.array_equal(a[1], b[1]), trial
         assert a[2] == b[2] and a[3] == b[3] and a[4] == b[4], trial
+
+
+def _batches_sig(fnames, nthreads=1, env=None):
+    import os
+    old = {}
+    for k, v in (env or {}).items():
+        old[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        s = reader.ReaderStats()
+        sig = []
+        for b in native.batches(fnames, 33, 5, s, 64, nthreads=nthreads):
+            sig.append((b.codes.tobytes(), b.rl.tobytes(),
+                        b.filepos.tobytes(), b.raw.tobytes()))
+        return sig, s.records_parsed
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+@pytest.mark.parametrize('level,members,threads', [
+    (1, 1, 1), (9, 1, 2), (6, 3, 2), (0, 1, 1),
+])
+def test_fuzz_gz_variants(tmp_path, level, members, threads):
+    ''' gz input == plain input through the native reader, for every
+        compression level / member count, with the fast whole-input
+        inflate ON and OFF (zlib ring fallback), single- and
+        multi-threaded '''
+    import gzip
+    rng = np.random.RandomState(level * 100 + members * 10 + threads)
+    data = gen_fastq(rng, 400, crlf=(level == 9), trailing=b'')
+    plain = tmp_path / 'f.fastq'
+    plain.write_bytes(data)
+    gz = tmp_path / 'f.fastq.gz'
+    per = -(-len(data) // members)
+    with open(gz, 'wb') as f:
+        for off in range(0, len(data), per):
+            f.write(gzip.compress(data[off:off + per],
+                                  compresslevel=level))
+
+    ref, nref = _batches_sig([str(plain)], nthreads=threads)
+    for fast in ('1', '0'):
+        got, ngot = _batches_sig([str(gz)], nthreads=threads,
+                                 env={'KVARQ_FAST_INFLATE': fast})
+        assert ngot == nref, fast
+        assert got == ref, fast
+
+
+def test_fuzz_gz_truncated_and_corrupt(tmp_path):
+    ''' truncated gz ends silently with a prefix; corrupt gz raises a
+        FastqFormatError after delivering the valid prefix -- identical
+        behavior with the fast inflate on and off '''
+    import gzip
+    rng = np.random.RandomState(77)
+    data = gen_fastq(rng, 800)
+    comp = gzip.compress(data, compresslevel=1)
+
+    def run(blob, fast):
+        import os
+        p = tmp_path / ('x_%s.fastq.gz' % fast)
+        p.write_bytes(blob)
+        os.environ['KVARQ_FAST_INFLATE'] = fast
+        try:
+            s = reader.ReaderStats()
+            recs, err = [], None
+            try:
+                for b in native.batches([str(p)], 33, 5, s, 64):
+                    recs.append((b.codes.tobytes(), b.rl.tobytes()))
+            except reader.FastqFormatError as e:
+                err = str(e)
+            return recs, s.records_parsed, err
+        finally:
+            os.environ.pop('KVARQ_FAST_INFLATE')
+
+    for cut in (len(comp) // 3, len(comp) // 2, len(comp) - 5):
+        r1 = run(comp[:cut], '1')
+        r0 = run(comp[:cut], '0')
+        assert r1 == r0, cut
+        assert r1[2] is None        # silent truncation, both paths
+
+    bad = bytearray(comp)
+    bad[len(bad) // 2] ^= 0x10
+    r1 = run(bytes(bad), '1')
+    r0 = run(bytes(bad), '0')
+    # both must parse the same valid prefix; both should surface an
+    # error (the exact zlib message wording may differ)
+    assert r1[0] == r0[0]
+    assert r1[1] == r0[1]
+    assert (r1[2] is None) == (r0[2] is None)
