@@ -447,6 +447,11 @@ def countseqs(fname, seqs):
 
         scanner = _make_scanner(seqs) if seqs else None
         sieve = _make_sieve(seqs) if seqs else None
+        if sieve is not None and hasattr(scanner, 'assume_dense'):
+            # sieve-fed batches contain only candidate reads, so the
+            # scanner can start in dense mode instead of discovering
+            # the density on its first dispatch
+            scanner.assume_dense()
         Amin = ord(_config['Amin'])
 
         try:

@@ -344,6 +344,16 @@ class TensorScanner:
         self._ctx = {}
         self.reset()
 
+    def assume_dense(self):
+        ''' declare the input candidate-dense up front (sieve-fed scans:
+            batches are packed with ONLY sieve-surviving reads, so
+            nearly every row kernel-flags) -- go straight to dense mode
+            instead of paying one discovery dispatch + context rebuild
+            per scan.  No-op when gather_k was pinned explicitly. '''
+        if self._gather_auto and self.backend == 'pallas' \
+                and not self._ctx:
+            self.gather_k = 0
+
     def reset(self):
         self.basecounts = {}   # Lpad -> accumulated [5, G] numpy float64
         self.seqhits = np.zeros(self.T, dtype=np.int64)
