@@ -181,12 +181,14 @@ def sharded_scan_step(mesh, Lpad, G, T, maxerrors, minoverlap,
 
 def sharded_scan_step_pallas(mesh, Lpad, G, Qp, T, maxerrors, minoverlap,
                              B_local, interpret=False, TB=None, TQ=None,
-                             nch=encode.NBASE):
+                             nch=encode.NBASE, dense=False):
     '''
     shard_map'd scan step running the fused Pallas kernel per device:
     ``step(codes [B, Lpad], rl [B], K [nb, L*nch, Qp], qmeta [nb, 8, Qp],
     tseg [nb, Qp]) -> (basecount [n_bank, 5, G], seqhits, seqbasehits)``.
     ``B`` must equal ``B_local * n_data`` (pad with rl=0 rows).
+    ``dense`` skips the screening kernel + compaction (sieve-fed
+    batches: every row is a candidate by construction).
     '''
     import jax
     from jax import lax
@@ -205,7 +207,7 @@ def sharded_scan_step_pallas(mesh, Lpad, G, Qp, T, maxerrors, minoverlap,
     check_vma = not interpret
     inner = pallas_scan.scan_step_banked(
         Lpad, G, Qp, T, maxerrors, minoverlap, B_local,
-        gather_k=min(512, B_local), interpret=interpret,
+        gather_k=0 if dense else min(512, B_local), interpret=interpret,
         TB=TB or pallas_scan.DEF_TB, TQ=TQ or pallas_scan.DEF_TQ,
         nch=nch, vma=('data', 'bank') if check_vma else None)
 
@@ -456,8 +458,16 @@ class ShardedScanner:
         if backend == 'auto':
             backend = 'xla' if self.platform == 'cpu' else 'pallas'
         self.backend = backend
+        self.dense = False
         self._ctx = {}
         self.reset()
+
+    def assume_dense(self):
+        ''' declare the input candidate-dense (sieve-fed batches): the
+            per-device Pallas screening kernel + compaction are skipped
+            in favor of the exact full-batch pass '''
+        if self.backend == 'pallas' and not self._ctx:
+            self.dense = True
 
     def reset(self):
         self.basecounts = {}   # Lpad -> accumulated [n_bank, 5, G] numpy
@@ -483,7 +493,8 @@ class ShardedScanner:
                     self.mesh, Lpad, bank.G, Qp, self.T, self.maxerrors,
                     self.minoverlap, self.B_LOCAL,
                     interpret=(self.platform == 'cpu'),
-                    TB=self.TB, TQ=self.TQ, nch=bank.channels())
+                    TB=self.TB, TQ=self.TQ, nch=bank.channels(),
+                    dense=self.dense)
                 sub = self.B_LOCAL * self.n_data
             else:
                 dtype = 'float32' if self.platform == 'cpu' else 'bfloat16'

@@ -288,9 +288,12 @@ def scan_sharded(fnames, seqs, maxerrors, minoverlap, minreadlength,
     if backend == 'pallas':
         from kvarq_tpu.engine import pallas_scan
         arrays, Qp = bank.pallas_device_arrays(T, pallas_scan.DEF_TQ)
+        # batches below are sieve-fed (candidate-dense by construction):
+        # skip the screening kernel, run the exact full pass directly
         step = sharded_scan_step_pallas(
             mesh, Lpad, bank.G, Qp, T, maxerrors, minoverlap, b_local,
-            interpret=(platform == 'cpu'), nch=bank.channels())
+            interpret=(platform == 'cpu'), nch=bank.channels(),
+            dense=True)
         args = (arrays['K'], arrays['qmeta'], arrays['tseg'])
     else:
         dtype = 'float32' if platform == 'cpu' else 'bfloat16'
