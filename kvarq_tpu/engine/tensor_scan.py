@@ -444,7 +444,7 @@ class TensorScanner:
             jax.device_put(codes), jax.device_put(rl), *ctx['acc'],
             **ctx['arrays'])
         ctx['steps'] += self.fuse
-        if self._gather_auto and not ctx['peeked']:
+        if self._gather_auto and self.gather_k and not ctx['peeked']:
             # one early candidate-count peek per context (a single
             # scalar readback): a hit-dense workload overflows from the
             # very first dispatch, and adapting now saves paying the

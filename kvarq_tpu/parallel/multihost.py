@@ -284,16 +284,21 @@ def scan_sharded(fnames, seqs, maxerrors, minoverlap, minreadlength,
     if backend == 'auto':
         backend = 'xla' if platform == 'cpu' else 'pallas'
 
+    from kvarq_tpu.engine.sieve import KmerSieve
+    sieve = KmerSieve.build(seqs, maxerrors, minoverlap, minreadlength)
+
     bank = ShardBank(list(seqs), Lpad, n_bank, minoverlap)
     if backend == 'pallas':
         from kvarq_tpu.engine import pallas_scan
         arrays, Qp = bank.pallas_device_arrays(T, pallas_scan.DEF_TQ)
-        # batches below are sieve-fed (candidate-dense by construction):
-        # skip the screening kernel, run the exact full pass directly
+        # sieve-fed batches are candidate-dense by construction: skip
+        # the screening kernel, run the exact full pass directly.  With
+        # no applicable sieve (short templates / tight configs) the
+        # unsieved stream is sparse and keeps the screened path.
         step = sharded_scan_step_pallas(
             mesh, Lpad, bank.G, Qp, T, maxerrors, minoverlap, b_local,
             interpret=(platform == 'cpu'), nch=bank.channels(),
-            dense=True)
+            dense=sieve is not None)
         args = (arrays['K'], arrays['qmeta'], arrays['tseg'])
     else:
         dtype = 'float32' if platform == 'cpu' else 'bfloat16'
@@ -323,8 +328,6 @@ def scan_sharded(fnames, seqs, maxerrors, minoverlap, minreadlength,
     acc_sbh = np.zeros(T, dtype=np.int64)
 
     stats = stats if stats is not None else reader.ReaderStats()
-    from kvarq_tpu.engine.sieve import KmerSieve
-    sieve = KmerSieve.build(seqs, maxerrors, minoverlap, minreadlength)
 
     def host_rows():
         ''' yield [B_host, Lpad] row blocks from this host's shard '''

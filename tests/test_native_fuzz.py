@@ -222,6 +222,7 @@ def test_fuzz_gz_truncated_and_corrupt(tmp_path):
         import os
         p = tmp_path / ('x_%s.fastq.gz' % fast)
         p.write_bytes(blob)
+        old = os.environ.get('KVARQ_FAST_INFLATE')
         os.environ['KVARQ_FAST_INFLATE'] = fast
         try:
             s = reader.ReaderStats()
@@ -233,7 +234,10 @@ def test_fuzz_gz_truncated_and_corrupt(tmp_path):
                 err = str(e)
             return recs, s.records_parsed, err
         finally:
-            os.environ.pop('KVARQ_FAST_INFLATE')
+            if old is None:
+                os.environ.pop('KVARQ_FAST_INFLATE', None)
+            else:
+                os.environ['KVARQ_FAST_INFLATE'] = old
 
     for cut in (len(comp) // 3, len(comp) // 2, len(comp) - 5):
         r1 = run(comp[:cut], '1')

@@ -85,10 +85,13 @@ def test_odd_batch_padding():
     assert depth[:25].tolist() == [1] * 25
 
 
-@pytest.mark.parametrize('n_data,n_bank', [(4, 2), (2, 1)])
-def test_sharded_pallas_equals_hitpath(n_data, n_bank):
+@pytest.mark.parametrize('n_data,n_bank,dense',
+                         [(4, 2, False), (2, 1, False),
+                          (4, 2, True), (2, 1, True)])
+def test_sharded_pallas_equals_hitpath(n_data, n_bank, dense):
     ''' the per-device Pallas kernel under shard_map (interpret mode on
-        the CPU mesh) matches the hit-list path bitwise '''
+        the CPU mesh) matches the hit-list path bitwise -- both the
+        screened path and the dense (assume_dense, no-kernel) path '''
     import jax
     if len(jax.devices()) < n_data * n_bank:
         pytest.skip('needs %d (virtual) devices' % (n_data * n_bank))
@@ -107,6 +110,9 @@ def test_sharded_pallas_equals_hitpath(n_data, n_bank):
     scanner.B_LOCAL = 8
     scanner.TB = 8
     scanner.TQ = 128
+    if dense:
+        scanner.assume_dense()
+        assert scanner.dense
     stats = reader.ReaderStats()
     for batch in reader.batches([fname], ord('!'), 5, stats,
                                 batchsize=16):
@@ -224,38 +230,3 @@ def test_findseqs_mesh_equals_plain():
     assert got['hitseqs'] == ref['hitseqs']
     assert got['stats']['nseqhits'] == ref['stats']['nseqhits']
 
-
-def test_sharded_pallas_dense_equals_hitpath():
-    ''' the dense sharded step (assume_dense: no screening kernel, used
-        for sieve-fed batches) matches the hit-list path bitwise '''
-    import jax
-    if len(jax.devices()) < 8:
-        pytest.skip('needs 8 (virtual) devices')
-
-    fname = os.path.join(FASTQS, 'test_engine.fastq')
-    plus = ['CACCGGTGTAGGCAAGTCGTAACAAGG', 'TTTTTTTTTTGGGGGGGGGG',
-            'CCCC', 'CCC']
-    seqs = plus + [_revcomp(s) for s in plus]
-
-    engine.config(maxerrors=1, minoverlap=5, minreadlength=5, Amin='!')
-    ref_bcs, ref_stats = _hitpath_basecounts(fname, seqs)
-
-    mesh = parallel.make_mesh(4, 2)
-    scanner = parallel.ShardedScanner(seqs, maxerrors=1, minoverlap=5,
-                                      mesh=mesh, backend='pallas')
-    scanner.B_LOCAL = 8
-    scanner.TB = 8
-    scanner.TQ = 128
-    scanner.assume_dense()
-    assert scanner.dense
-    stats = reader.ReaderStats()
-    for batch in reader.batches([fname], ord('!'), 5, stats,
-                                batchsize=16):
-        scanner.scan_batch(batch)
-
-    for t, (r, g) in enumerate(zip(ref_bcs, scanner.coverages())):
-        assert np.array_equal(r, g.astype(np.int64)), 'template %d' % t
-    assert np.array_equal(np.asarray(ref_stats['nseqhits']),
-                          scanner.seqhits)
-    assert np.array_equal(np.asarray(ref_stats['nseqbasehits']),
-                          scanner.seqbasehits)

@@ -260,3 +260,28 @@ def test_adapt_gather_rebuilds_in_place(monkeypatch):
 
     for r, g in zip(ref_bcs, sc.coverages()):   # no KeyError, exact
         assert np.array_equal(r, g.astype(np.int64))
+
+
+def test_tensor_scanner_dense_pallas_parity():
+    ''' TensorScanner with backend='pallas' + assume_dense() (the
+        production countseqs path on sieve-fed batches) must equal the
+        hit path.  Dense mode skips the Pallas kernel entirely, so this
+        runs as plain XLA on the CPU too -- covering the gather_k=0
+        context build + fuse padding through the real scanner. '''
+    fname = os.path.join(FASTQS, 'test_engine.fastq')
+    seqs = ['CACCGGTGTAGGCAAGTCGTAACAAGG', 'TTTTTTTTTTGGGGGGGGGG', 'CCC']
+
+    engine.config(maxerrors=1, minoverlap=5, minreadlength=5, Amin='!')
+    ref_bcs, ref_stats = _hitpath_basecounts(fname, seqs)
+
+    sc = TensorScanner(seqs, 1, 5, backend='pallas')
+    sc.assume_dense()
+    assert sc.gather_k == 0
+    stats = reader.ReaderStats()
+    for batch in reader.batches([fname], ord('!'), 5, stats):
+        sc.scan_batch(batch)
+    sc.finalize()
+    for r, g in zip(ref_bcs, sc.coverages()):
+        assert np.array_equal(r, g.astype(np.int64))
+    np.testing.assert_array_equal(
+        np.asarray(ref_stats['nseqhits']), sc.seqhits)
