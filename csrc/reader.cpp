@@ -33,10 +33,10 @@
 #include <vector>
 
 #include <fcntl.h>
+#include <sys/stat.h>
 #include <unistd.h>
 #if defined(__linux__) || defined(__APPLE__)
 #include <sys/mman.h>
-#include <sys/stat.h>
 #define KVARQ_HAVE_MMAP 1
 #endif
 
@@ -631,9 +631,19 @@ bool open_stream(Stream& s, std::string* err, int nthreads) {
         *err = "cannot open '" + s.fname + "'";
         return false;
     }
-    std::fseek(s.f, 0, SEEK_END);
-    s.fsize = std::ftell(s.f);
-    std::fseek(s.f, 0, SEEK_SET);
+    // non-regular inputs (FIFOs, process substitution) cannot be
+    // seeked, sized, re-opened (a second open would steal/consume the
+    // writer's stream) or mmap'd -- they take the plain streaming paths
+    struct stat st_;
+    const bool is_reg = ::fstat(::fileno(s.f), &st_) == 0
+                        && S_ISREG(st_.st_mode);
+    if (is_reg) {
+        std::fseek(s.f, 0, SEEK_END);
+        s.fsize = std::ftell(s.f);
+        std::fseek(s.f, 0, SEEK_SET);
+    } else {
+        s.fsize = 0;
+    }
     size_t n = s.fname.size();
     s.is_gz = n > 3 && s.fname.compare(n - 3, 3, ".gz") == 0;
 #ifdef KVARQ_HAVE_MMAP
@@ -675,7 +685,10 @@ bool open_stream(Stream& s, std::string* err, int nthreads) {
 #ifdef KVARQ_USE_LIBDEFLATE
         const char* e = std::getenv("KVARQ_LIBDEFLATE");
         bool ld_ok = !(e && e[0] == '0');
-        if (ld_ok) {
+        // the probe RE-OPENS the file, which would steal bytes from a
+        // FIFO writer: regular files only (fsize>0 also gates the bg
+        // takeover and the mmap fast-inflate below for the same reason)
+        if (ld_ok && is_reg) {
             // BGZF fast path: any size, parallel per-block decode, exact
             // decompressed size known before the first byte is served
             std::vector<BgzfBlock> blocks;
@@ -1977,12 +1990,15 @@ Reader* kvq_open(const char** fnames, int nfiles, int amin,
         r->streams.push_back(std::move(s));
     }
     // initial size estimates: plain size, or 3x compressed
-    // (workhorse.c:624-626)
+    // (workhorse.c:624-626).  stat(), NOT a probe fopen: opening a
+    // FIFO/process-substitution input here would consume the writer's
+    // one-shot connection -- the writer sees a reader, writes, closes,
+    // and the real open later blocks forever (measured deadlock)
     for (auto& s : r->streams) {
-        FILE* f = std::fopen(s.fname.c_str(), "rb");
+        struct stat st;
         int64_t sz = 0;
-        if (f) { std::fseek(f, 0, SEEK_END); sz = std::ftell(f);
-                 std::fclose(f); }
+        if (::stat(s.fname.c_str(), &st) == 0 && S_ISREG(st.st_mode))
+            sz = (int64_t)st.st_size;
         size_t n = s.fname.size();
         bool gz = n > 3 && s.fname.compare(n - 3, 3, ".gz") == 0;
         r->est.push_back(gz ? sz * 3 : sz);

@@ -254,3 +254,34 @@ def test_fuzz_gz_truncated_and_corrupt(tmp_path):
     assert r1[0] == r0[0]
     assert r1[1] == r0[1]
     assert (r1[2] is None) == (r0[2] is None)
+
+
+def test_fifo_input(tmp_path):
+    ''' FIFO / process-substitution inputs stream correctly: the reader
+        must never pre-open the file for size probes or format sniffs
+        (a probe open consumes the writer's one-shot connection -- the
+        estimate fopen in kvq_open deadlocked this, reproducibly racing
+        the writer). Sizes/estimates fall back to unknown. '''
+    import threading
+    rng = np.random.RandomState(5)
+    data = gen_fastq(rng, 300)
+    plain = tmp_path / 'x.fastq'
+    plain.write_bytes(data)
+    fifo = str(tmp_path / 'x.fifo.fastq')
+    os.mkfifo(fifo)
+
+    def sig(fname):
+        s = reader.ReaderStats()
+        out = [(b.codes.tobytes(), b.rl.tobytes())
+               for b in native.batches([fname], 33, 5, s, 64)]
+        return out, s.records_parsed
+
+    want = sig(str(plain))
+    for _ in range(3):                    # the deadlock was a race
+        t = threading.Thread(
+            target=lambda: open(fifo, 'wb').write(data))
+        t.start()
+        got = sig(fifo)
+        t.join(timeout=30)
+        assert not t.is_alive()
+        assert got == want
