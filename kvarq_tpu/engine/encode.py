@@ -52,3 +52,17 @@ def encode_template(seq):
 def encode_read_array(arr):
     ''' encode a uint8 byte array (any shape) of read characters '''
     return _READ_LUT[arr]
+
+
+def pad_batch(codes, rl, n, Lpad):
+    ''' pad host-side batch arrays up to ``n`` rows with junk reads
+        (rl=0 rows gate out of every scan path); no-op when already
+        ``n`` rows '''
+    pad = n - len(codes)
+    if pad <= 0:
+        return codes, rl.astype(np.int32, copy=False)
+    codes = np.concatenate(
+        [codes, np.full((pad, Lpad), CODE_READ_JUNK, dtype=np.uint8)])
+    rl = np.concatenate([rl.astype(np.int32, copy=False),
+                         np.zeros(pad, dtype=np.int32)])
+    return codes, rl

@@ -79,14 +79,8 @@ class PallasMatcher:
         hit_idx = []
         for lo_ in range(0, B, sub):
             hi = min(B, lo_ + sub)
-            codes = batch.codes[lo_:hi]
-            rl = batch.rl[lo_:hi]
-            if len(codes) < sub:
-                pad = sub - len(codes)
-                codes = np.concatenate(
-                    [codes, np.full((pad, Lpad), encode.CODE_READ_JUNK,
-                                    dtype=np.uint8)])
-                rl = np.concatenate([rl, np.zeros(pad, dtype=np.int32)])
+            codes, rl = encode.pad_batch(
+                batch.codes[lo_:hi], batch.rl[lo_:hi], sub, Lpad)
             flags = np.asarray(hit_flags(codes, rl, **arrays))
             hit_idx.append(np.flatnonzero(flags[:hi - lo_]) + lo_)
 

@@ -38,7 +38,6 @@ import numpy as np
 
 from kvarq_tpu.engine import encode
 
-MAXHITS = 65536                 # legacy bound (kept for importers)
 # cap on B*Q f32 elements materialized per device step: the [B, Q]
 # match/gating tensors.  On TPU the elementwise passes are
 # bandwidth-bound (~30 ms at 16384 x 40k), so big sub-batches amortize
@@ -160,21 +159,24 @@ def _jit_step(Lpad, Q, W, maxerrors, minoverlap, platform):
         qmax = jnp.max(jnp.where(p, q_ar + 1, 0), axis=1) - 1
         span_ok = (qmax - qmin) < W
 
-        # W-wide window anchored at the first passing shift, bit-packed
-        # 16 bits/lane via an exact f32 matmul (values < 2^16)
+        # windows/bitmasks are bit-packed 16 bits/lane via an exact
+        # f32 matmul (values < 2^16)
+        pow2 = (2.0 ** jnp.arange(16, dtype=acc_dtype))
+
+        def pack16(mask):
+            return jnp.einsum(
+                'bwk,k->bw', mask.reshape(len(mask), -1, 16)
+                .astype(acc_dtype), pow2).astype(jnp.int32)
+
+        # W-wide window anchored at the first passing shift
         start = jnp.clip(qmin, 0, max(Q16 - W, 0))
         gidx = start[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
         win = jnp.take_along_axis(p, gidx, axis=1)          # [B, W]
-        pow2 = (2.0 ** jnp.arange(16, dtype=acc_dtype))
-        bits = jnp.einsum('bwk,k->bw',
-                          win.reshape(-1, W // 16, 16).astype(acc_dtype),
-                          pow2).astype(jnp.int32)           # [B, W/16]
+        bits = pack16(win)                                  # [B, W/16]
         # the full packed bitmask stays ON DEVICE: wide rows (shift
         # spans past the window) are decoded from it exactly via a
         # small follow-up gather -- no host transfer unless needed
-        full_bits = jnp.einsum(
-            'bwk,k->bw', p.reshape(-1, Q16 // 16, 16).astype(acc_dtype),
-            pow2).astype(jnp.int32)                         # [B, Q16/16]
+        full_bits = pack16(p)                               # [B, Q16/16]
         # ONE flat readback (each np.asarray costs its own ~45 ms
         # round trip on relayed attachments)
         flat = jnp.concatenate([
@@ -185,10 +187,11 @@ def _jit_step(Lpad, Q, W, maxerrors, minoverlap, platform):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_rows(nw):
+def _jit_rows():
     ''' gather selected rows of the device-resident full bitmask; u16
         halves the readback (words are 16-bit values, bit patterns
-        survive the cast) '''
+        survive the cast).  jit caches per shape, so one function
+        serves every bank. '''
     import jax
     import jax.numpy as jnp
 
@@ -207,7 +210,6 @@ class XlaMatcher:
         self.minoverlap = minoverlap
         self.platform = jax.default_backend()
         self._banks = {}
-        self._fallback = None
 
     def _bank(self, Lpad):
         if Lpad not in self._banks:
@@ -267,14 +269,8 @@ class XlaMatcher:
         out = []
         for lo_ in range(0, B, sub):
             hi = min(B, lo_ + sub)
-            codes = batch.codes[lo_:hi]
-            rl = batch.rl[lo_:hi]
-            if len(codes) < sub:  # pad to the static shape
-                pad = sub - len(codes)
-                codes = np.concatenate(
-                    [codes, np.full((pad, Lpad), encode.CODE_READ_JUNK,
-                                    dtype=np.uint8)])
-                rl = np.concatenate([rl, np.zeros(pad, dtype=np.int32)])
+            codes, rl = encode.pad_batch(
+                batch.codes[lo_:hi], batch.rl[lo_:hi], sub, Lpad)
             flat, full_bits = step(
                 jnp.asarray(codes), jnp.asarray(rl),
                 K_dev, d_of, seql_of, valid_q)
@@ -300,7 +296,7 @@ class XlaMatcher:
                 npad = 1 << max(int(np.ceil(np.log2(len(wide)))), 4)
                 idx = np.zeros(npad, dtype=np.int32)
                 idx[:len(wide)] = wide
-                rows_dev = _jit_rows(nw)(full_bits, jnp.asarray(idx))
+                rows_dev = _jit_rows()(full_bits, jnp.asarray(idx))
                 rows_np = np.asarray(rows_dev)[:len(wide)]
                 out.append(decode(rows_np, wide + lo_,
                                   np.zeros(len(wide), dtype=np.int64)))

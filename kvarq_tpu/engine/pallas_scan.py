@@ -352,8 +352,6 @@ def scan_step_banked(Lpad, G, Qp, T, maxerrors, minoverlap, B,
             rl = jnp.pad(rl, (0, Bp - B))
             codes = jnp.pad(codes, ((0, Bp - B), (0, 0)),
                             constant_values=encode.CODE_READ_JUNK)
-        rl2d = jnp.broadcast_to(rl[:, None], (Bp, 128))
-
         # exact stats + coverage over the compacted candidate reads
         # (sparse in real data); the coverage pass one-hots the full 5
         # channels -- read N bases count as coverage + mutations --
@@ -375,6 +373,7 @@ def scan_step_banked(Lpad, G, Qp, T, maxerrors, minoverlap, B,
             count = jnp.zeros((), dtype=jnp.int32)
             RTw, w_q, wov_q = score_full(None)
         else:
+            rl2d = jnp.broadcast_to(rl[:, None], (Bp, 128))
             hitpart = kcall(read_flat, rl2d, K, qmeta)
             hit_b = jnp.sum(hitpart, axis=0)                 # [Bp]
             count = jnp.sum((hit_b > 0).astype(jnp.int32))

@@ -511,14 +511,8 @@ class TensorScanner:
         sub = ctx['sub']
         for lo_ in range(0, B, sub):
             hi = min(B, lo_ + sub)
-            codes = batch.codes[lo_:hi]
-            rl = batch.rl[lo_:hi].astype(np.int32)
-            if len(codes) < sub:  # pad to the static shape (rl=0 rows gate out)
-                pad = sub - len(codes)
-                codes = np.concatenate(
-                    [codes, np.full((pad, Lpad), encode.CODE_READ_JUNK,
-                                    dtype=np.uint8)])
-                rl = np.concatenate([rl, np.zeros(pad, dtype=np.int32)])
+            codes, rl = encode.pad_batch(
+                batch.codes[lo_:hi], batch.rl[lo_:hi], sub, Lpad)
             ctx['pending'].append((codes, rl))
             if len(ctx['pending']) >= self.fuse:
                 self._dispatch(Lpad)

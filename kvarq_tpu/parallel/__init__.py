@@ -410,14 +410,8 @@ class ShardedMatcher:
         hit_idx = []
         for lo_ in range(0, B, chunk):
             hi = min(B, lo_ + chunk)
-            codes = batch.codes[lo_:hi]
-            rl = batch.rl[lo_:hi].astype(np.int32)
-            if len(codes) < chunk:
-                pad = chunk - len(codes)
-                codes = np.concatenate(
-                    [codes, np.full((pad, Lpad), encode.CODE_READ_JUNK,
-                                    dtype=np.uint8)])
-                rl = np.concatenate([rl, np.zeros(pad, dtype=np.int32)])
+            codes, rl = encode.pad_batch(
+                batch.codes[lo_:hi], batch.rl[lo_:hi], chunk, Lpad)
             flags = np.asarray(step(codes, rl,
                                     *(arrays[a] for a in argnames)))
             hit_idx.append(np.flatnonzero(flags[:hi - lo_] > 0) + lo_)
@@ -524,14 +518,9 @@ class ShardedScanner:
 
         chunk = sub if sub else -(-B // self.n_data) * self.n_data
         for lo_ in range(0, B, chunk):
-            codes = batch.codes[lo_:lo_ + chunk]
-            rl = batch.rl[lo_:lo_ + chunk]
-            if len(codes) < chunk:  # pad (rl=0 rows gate out)
-                pad = chunk - len(codes)
-                codes = np.concatenate(
-                    [codes, np.full((pad, Lpad), encode.CODE_READ_JUNK,
-                                    dtype=np.uint8)])
-                rl = np.concatenate([rl, np.zeros(pad, dtype=np.int32)])
+            codes, rl = encode.pad_batch(
+                batch.codes[lo_:lo_ + chunk], batch.rl[lo_:lo_ + chunk],
+                chunk, Lpad)
             if self.backend == 'pallas':
                 args = (arrays['K'], arrays['qmeta'], arrays['tseg'])
             else:
